@@ -1,0 +1,187 @@
+"""Ray-scene intersection: lockstep stackless BVH traversal over flat arrays.
+
+The reference traverses a pointer octree recursively per ray with virtual
+``Entity::intersect`` calls (reference include/raytracer.h:382-478,
+octree.cpp:150-313).  Here every ray in a wavefront advances through the
+same threaded BVH in lockstep (gather node -> slab test -> leaf prim tests ->
+skip/descend), which maps to TPU's SIMD lanes: all control flow is a single
+`lax.while_loop` whose body is pure vector math + gathers.
+
+Primitive tests:
+* Möller–Trumbore triangles (entities.h:443-490), branchless.
+* analytic spheres (entities.h:60-101), tested densely outside the BVH.
+
+Stochastic alpha: a candidate hit is *accepted* iff
+``u < opacity*tex_alpha  or  IOR != 1`` (raytracer.h:455,297) with u a
+counter-based hash of (ray_id, prim_id, salt) — deterministic, replayable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..sampling.rng import hash_u01
+from ..scene.types import Scene
+
+_BIG = jnp.inf
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # (R,) hit distance (inf = miss)
+    prim: jnp.ndarray     # (R,) int32: triangle id, or T + sphere id, -1 miss
+    u: jnp.ndarray        # (R,) triangle barycentric u (unused for spheres)
+    v: jnp.ndarray        # (R,) triangle barycentric v
+
+
+def ray_triangle(ro, rd, v0, e1, e2, eps):
+    """Branchless Möller–Trumbore. Broadcasts over leading dims.
+    Returns (t, u, v, ok) with ok=False for parallel/outside/behind."""
+    p = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * p, -1)
+    ok = jnp.abs(det) >= eps
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvec = ro - v0
+    u = jnp.sum(tvec * p, -1) * inv_det
+    q = jnp.cross(tvec, e1)
+    v = jnp.sum(rd * q, -1) * inv_det
+    t = jnp.sum(e2 * q, -1) * inv_det
+    ok &= (u >= 0) & (u <= 1) & (v >= 0) & (u + v <= 1) & (t > 0)
+    return t, u, v, ok
+
+
+def ray_sphere(ro, rd, center, rad):
+    """Analytic sphere test (entities.h:60-101). Returns (t, ok)."""
+    oc = ro - center
+    b = jnp.sum(rd * oc, -1)
+    r = b * b - jnp.sum(oc * oc, -1) + rad * rad
+    ok = r >= 0
+    sr = jnp.sqrt(jnp.where(ok, r, 0.0))
+    t1 = -b - sr
+    t2 = -b + sr
+    # nearest positive root (entities.h:76-83)
+    t = jnp.where((t1 > 0), t1, t2)
+    ok &= t > 0
+    return jnp.where(ok, t, _BIG), ok
+
+
+def _accept_prob(scene: Scene, mat_id):
+    """P(candidate accepted) gate: alpha<1 materials pass stochastically
+    unless refractive (IOR != 1 always accepted) — raytracer.h:455."""
+    alpha = scene.materials.opacity[mat_id]
+    refractive = scene.materials.ior[mat_id] != 1.0
+    return jnp.where(refractive, 1.0, alpha)
+
+
+def _leaf_tri_test(scene: Scene, ro, rd, node, t_best, salt, eps):
+    """Intersect the K triangles of each ray's current leaf.
+    Returns (t, prim, u, v, any_better) per ray for the best accepted hit."""
+    bvh = scene.bvh
+    K = bvh.leaf_size
+    first = bvh.first[node]
+    cnt = bvh.count[node]
+    slots = first[:, None] + jnp.arange(K, dtype=jnp.int32)[None, :]
+    in_leaf = jnp.arange(K, dtype=jnp.int32)[None, :] < cnt[:, None]
+    pid = bvh.prim_idx[jnp.clip(slots, 0, max(bvh.prim_idx.shape[0] - 1, 0))]
+    v0 = scene.tris.v0[pid]
+    e1 = scene.tris.e1[pid]
+    e2 = scene.tris.e2[pid]
+    t, u, v, ok = ray_triangle(ro[:, None, :], rd[:, None, :], v0, e1, e2, eps)
+    ok &= in_leaf & (t < t_best[:, None])
+    # stochastic alpha acceptance (raytracer.h:455)
+    mat = scene.tris.mat_id[pid]
+    p_acc = _accept_prob(scene, mat)
+    rid = jnp.arange(ro.shape[0], dtype=jnp.uint32)[:, None]
+    uni = hash_u01(rid, pid.astype(jnp.uint32), salt)
+    ok &= (uni < p_acc) | (p_acc >= 1.0)
+    tk = jnp.where(ok, t, _BIG)
+    j = jnp.argmin(tk, axis=1)
+    rows = jnp.arange(ro.shape[0])
+    return (tk[rows, j], pid[rows, j], u[rows, j], v[rows, j],
+            tk[rows, j] < t_best)
+
+
+def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
+                eps: float = 1e-5, max_steps: Optional[int] = None) -> Hit:
+    """Nearest accepted hit along each ray (trace(), raytracer.h:382-478)."""
+    R = ro.shape[0]
+    dt = ro.dtype
+    n_nodes = scene.bvh.n_nodes
+    t0 = jnp.full((R,), _BIG, dt) if t_max is None else jnp.broadcast_to(t_max, (R,)).astype(dt)
+
+    tiny = jnp.asarray(1e-12, dt)
+    safe_d = jnp.where(jnp.abs(rd) < tiny, jnp.where(rd < 0, -tiny, tiny), rd)
+    inv_d = 1.0 / safe_d
+
+    class St(NamedTuple):
+        node: jnp.ndarray
+        t: jnp.ndarray
+        prim: jnp.ndarray
+        u: jnp.ndarray
+        v: jnp.ndarray
+
+    st = St(node=jnp.zeros((R,), jnp.int32), t=t0,
+            prim=jnp.full((R,), -1, jnp.int32),
+            u=jnp.zeros((R,), dt), v=jnp.zeros((R,), dt))
+
+    def cond(s):
+        return jnp.any(s.node < n_nodes)
+
+    def body(s):
+        node = jnp.minimum(s.node, n_nodes - 1)
+        active = s.node < n_nodes
+        nmin = scene.bvh.node_min[node]
+        nmax = scene.bvh.node_max[node]
+        ta = (nmin - ro) * inv_d
+        tb = (nmax - ro) * inv_d
+        tn = jnp.max(jnp.minimum(ta, tb), -1)
+        tf = jnp.min(jnp.maximum(ta, tb), -1)
+        hit_box = active & (tf >= jnp.maximum(tn, 0.0)) & (tn < s.t)
+        cnt = scene.bvh.count[node]
+        is_leaf = cnt > 0
+        do_leaf = hit_box & is_leaf
+
+        lt, lp, lu, lv, better = _leaf_tri_test(
+            scene, ro, rd, jnp.where(do_leaf, node, 0), s.t, salt, eps)
+        upd = do_leaf & better
+        t = jnp.where(upd, lt, s.t)
+        prim = jnp.where(upd, lp, s.prim)
+        u = jnp.where(upd, lu, s.u)
+        v = jnp.where(upd, lv, s.v)
+
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, scene.bvh.skip[node])
+        return St(jnp.where(active, nxt, s.node), t, prim, u, v)
+
+    st = jax.lax.while_loop(cond, body, st)
+
+    # dense sphere pass (few spheres; outside the BVH)
+    if scene.n_spheres:
+        ts, ok = ray_sphere(ro[:, None, :], rd[:, None, :],
+                            scene.spheres.pos[None], scene.spheres.rad[None])
+        p_acc = _accept_prob(scene, scene.spheres.mat_id)[None, :]
+        rid = jnp.arange(R, dtype=jnp.uint32)[:, None]
+        sid = (scene.n_tris
+               + jnp.arange(scene.n_spheres, dtype=jnp.uint32))[None, :]
+        uni = hash_u01(rid, sid, salt)
+        ok &= (uni < p_acc) | (p_acc >= 1.0)
+        ts = jnp.where(ok, ts, _BIG)
+        j = jnp.argmin(ts, axis=1)
+        rows = jnp.arange(R)
+        tbest = ts[rows, j]
+        upd = tbest < st.t
+        st = St(st.node,
+                jnp.where(upd, tbest, st.t),
+                jnp.where(upd, scene.n_tris + j.astype(jnp.int32), st.prim),
+                jnp.where(upd, 0.0, st.u), jnp.where(upd, 0.0, st.v))
+
+    miss = ~jnp.isfinite(st.t)
+    return Hit(st.t, jnp.where(miss, -1, st.prim), st.u, st.v)
+
+
+def any_hit(scene: Scene, ro, rd, t_limit, salt=0, eps: float = 1e-5) -> jnp.ndarray:
+    """True where something accepted occludes (0, t_limit) — visible(),
+    raytracer.h:280-319.  Early-out: rays stop traversing once occluded."""
+    hit = closest_hit(scene, ro, rd, t_max=t_limit, salt=salt, eps=eps)
+    return hit.prim >= 0

@@ -2,14 +2,15 @@
 
 Tests run on CPU with 8 virtual XLA devices so that multi-chip sharding
 (`jax.sharding.Mesh` / `shard_map`) is exercised without TPU hardware — the
-standard substitute for a real pod (see SURVEY.md §4).  Must set flags before
-jax initializes its backends.
+standard substitute for a real pod (see SURVEY.md §4).
+
+NOTE: this environment preloads jax via sitecustomize (axon TPU plugin), so
+env vars are too late — the platform must be forced through jax.config.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,4 +20,5 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)  # float64 golden paths on CPU
