@@ -97,7 +97,10 @@ def hit_attributes_uv(scene: Scene, ro, rd, t, prim, bu, bv) -> HitAttrs:
     total = max(scene.n_tris + scene.n_spheres - 1, 0)
     p = jnp.clip(prim, 0, total)
     is_tri = p < scene.n_tris if scene.n_tris else jnp.zeros_like(valid)
-    point = ro + t[:, None] * rd
+    # miss lanes carry t=inf; sanitize so masked-out lanes never produce
+    # inf/nan primals (those poison reverse-mode cotangent sums)
+    t_safe = jnp.where(valid, t, 0.0)
+    point = ro + t_safe[:, None] * rd
 
     if scene.n_tris:
         tp = jnp.clip(p, 0, scene.n_tris - 1)
