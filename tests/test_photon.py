@@ -1,0 +1,101 @@
+"""Photon subsystem: kNN estimate vs brute-force oracle, emission chain."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gi_raytracer_tpu.config import RenderConfig
+from gi_raytracer_tpu.scene import SceneBuilder
+from gi_raytracer_tpu.render.photon import (PhotonBatch, build_photon_map,
+                                            sample_photons, trace_photons)
+
+
+def _oracle_estimate(ppos, pdir, pcol, q, d, k):
+    """Reference math (raytracer.h:545-576) over ALL photons in float64."""
+    d2 = ((ppos - q) ** 2).sum(1)
+    order = np.argsort(d2)
+    n = min(k, len(order))
+    if n == 0:
+        return np.zeros(3)
+    sel = order[:n]
+    res = (pcol[sel] * (pdir[sel] @ d)[:, None]).sum(0)
+    return res / (np.pi * d2[sel[-1]])
+
+
+def test_knn_estimate_matches_oracle():
+    rng = np.random.default_rng(0)
+    P = 400
+    # photons clustered in a unit ball: window covers the cluster
+    ppos = rng.normal(0, 0.2, (P, 3))
+    pdir = rng.normal(size=(P, 3))
+    pdir /= np.linalg.norm(pdir, axis=1, keepdims=True)
+    pcol = rng.uniform(0, 1, (P, 3))
+
+    batch = PhotonBatch(jnp.asarray(ppos), jnp.asarray(pdir),
+                        jnp.asarray(pcol), jnp.ones(P, bool))
+    pm = build_photon_map(batch, (-1.5, -1.5, -1.5), (1.5, 1.5, 1.5),
+                          target_per_cell=64.0, window_cap=256)
+    qs = rng.normal(0, 0.1, (16, 3))
+    ds = rng.normal(size=(16, 3))
+    ds /= np.linalg.norm(ds, axis=1, keepdims=True)
+    got = np.asarray(sample_photons(pm, jnp.asarray(qs), jnp.asarray(ds), 32))
+    for i in range(16):
+        want = _oracle_estimate(ppos, pdir, pcol, qs[i], ds[i], 32)
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-9,
+                                   err_msg=f"query {i}")
+
+
+def test_knn_empty_map_is_zero():
+    batch = PhotonBatch(jnp.zeros((4, 3)), jnp.zeros((4, 3)),
+                        jnp.zeros((4, 3)), jnp.zeros(4, bool))
+    pm = build_photon_map(batch, (0, 0, 0), (1, 1, 1))
+    out = np.asarray(sample_photons(pm, jnp.zeros((5, 3)),
+                                    jnp.ones((5, 3)), 32))
+    assert np.array_equal(out, np.zeros((5, 3)))
+
+
+def _caustic_scene():
+    """Light above a glass sphere above a diffuse floor."""
+    b = SceneBuilder()
+    white = b.add_texture_const((1.0, 1.0, 1.0))
+    black = b.add_texture_const((0.0, 0.0, 0.0))
+    diffuse = b.add_material(white, black, 1.0, 1.0, 1.0)
+    glass = b.add_material(white, black, 0.0, 0.0, 1.5)
+    # floor at y=0
+    b.add_triangle([(-20, 0, -20), (20, 0, -20), (0, 0, 30)], mat_id=diffuse)
+    b.add_sphere((0, 2, 0), 0.7, glass)
+    b.add_light((0, 6, 0), (10, 10, 10), 0.05)
+    return b.build(dtype=np.float64)
+
+
+def test_photon_emission_stores_on_floor():
+    scene = _caustic_scene()
+    assert float(scene.lights.angle[0]) > 0.0, "caustic cone angle not set"
+    cfg = RenderConfig(photons=512, photon_depth=5, photon_retries=4,
+                       dtype="float64")
+    batch = trace_photons(scene, cfg)
+    stored = np.asarray(batch.stored)
+    assert stored.sum() > 10, f"too few photons stored: {stored.sum()}"
+    pos = np.asarray(batch.pos)[stored]
+    # photons land on the floor (y≈0) after refracting through the sphere
+    assert (np.abs(pos[:, 1]) < 0.1).mean() > 0.9, pos[:5]
+    # refraction focuses them near the axis under the sphere
+    r = np.linalg.norm(pos[:, [0, 2]], axis=1)
+    assert np.median(r) < 2.0, f"photons not focused: median r={np.median(r)}"
+    col = np.asarray(batch.col)[stored]
+    assert (col > 0).all() and np.isfinite(col).all()
+
+
+def test_caustic_estimate_positive_under_sphere():
+    scene = _caustic_scene()
+    cfg = RenderConfig(photons=2048, photon_depth=5, photon_retries=4,
+                       dtype="float64")
+    batch = trace_photons(scene, cfg)
+    pm = build_photon_map(batch, np.asarray(scene.world_min),
+                          np.asarray(scene.world_max))
+    q = jnp.asarray([[0.0, 0.0, 0.0], [15.0, 0.0, -15.0]])
+    d = jnp.asarray([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    est = np.asarray(sample_photons(pm, q, d, 32))
+    assert est[0].sum() > est[1].sum(), (
+        f"caustic not concentrated under sphere: {est}")
+    assert np.isfinite(est).all()
