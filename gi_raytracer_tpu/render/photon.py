@@ -77,8 +77,9 @@ def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
     ldir = scene.lights.dir[li]
     langle = scene.lights.angle[li]
 
+    try_u = jnp.asarray(try_i).astype(jnp.uint32)
     h_idx = (slot_idx * np.uint32(max(cfg.photon_retries, 1))
-             + np.uint32(try_i)).astype(jnp.uint32)
+             + try_u).astype(jnp.uint32)
     sx = sampler.sample(0, h_idx).astype(dt)
     sy = sampler.sample(1, h_idx).astype(dt)
 
@@ -88,7 +89,8 @@ def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
     surf = jnp.where(langle < 1.0, cap, sphere_pt)
     pos = lpos[None, :] + lrad * surf
 
-    ku = stream(key, int(Purpose.PHOTON_EMIT_X), li, try_i)
+    ku = jax.random.fold_in(stream(key, int(Purpose.PHOTON_EMIT_X), li),
+                            try_u)
     u = jax.random.uniform(ku, (2, R), dt)
     emit_dir = sphere_cap_cos(normalize(pos - lpos[None, :]), u[0], u[1],
                               2.0, langle)
@@ -98,7 +100,7 @@ def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
 
     # --- specular continuation chain ---------------------------------------
     ro, rd = pos, emit_dir
-    salt0 = (li + 1) * 2654435761 + try_i * 97
+    salt0 = (li + 1) * 40503 + try_u * jnp.uint32(97)
 
     hit = closest_hit(scene, ro, rd, salt=salt0, eps=cfg.epsilon)
     attrs = hit_attributes_uv(scene, ro, rd, hit.t, hit.prim, hit.u, hit.v)
@@ -120,8 +122,9 @@ def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
                jnp.zeros((R, 3), dt), jnp.zeros((R, 3), dt))
 
     def body(s: Chain, depth):
-        salt = salt0 + (depth + 1) * 7919
-        kb = stream(key, int(Purpose.PHOTON_ALPHA), li, try_i)
+        salt = salt0 + (depth.astype(jnp.uint32) + 1) * jnp.uint32(7919)
+        kb = jax.random.fold_in(stream(key, int(Purpose.PHOTON_ALPHA), li),
+                                try_u)
         kb = jax.random.fold_in(kb, depth)
         uni = jax.random.uniform(kb, (4, R), dt)
 
@@ -164,35 +167,50 @@ def trace_photons(scene: Scene, cfg: RenderConfig,
                   sampler: HaltonSampler | None = None,
                   key=None, count: int | None = None) -> PhotonBatch:
     """Emit ``count`` photon slots per light with masked retry waves.
-    Returns fixed-size per-slot arrays (stored = success mask)."""
+    Returns fixed-size per-slot arrays (stored = success mask).
+
+    The whole retry x depth emission program is traced into ONE jitted
+    computation (the reference's per-slot retry loop, raytracer.h:602,
+    becomes `photon_retries` statically-unrolled masked waves).
+    """
     sampler = sampler or HaltonSampler()
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     count = count or cfg.photons
     L = scene.lights.count
     dt = scene.lights.pos.dtype
+    if L == 0:
+        return PhotonBatch(jnp.zeros((1, 3), dt), jnp.zeros((1, 3), dt),
+                           jnp.zeros((1, 3), dt), jnp.zeros(1, bool))
 
-    out = None
-    slot_idx = jnp.arange(count, dtype=jnp.uint32)
-    for li in range(L):
-        acc = PhotonBatch(jnp.zeros((count, 3), dt), jnp.zeros((count, 3), dt),
-                          jnp.zeros((count, 3), dt), jnp.zeros(count, bool))
-        for t in range(max(cfg.photon_retries, 1)):
-            wave = _emit_wave(scene, cfg, sampler, li, slot_idx, t, key)
-            take = wave.stored & ~acc.stored
-            acc = PhotonBatch(
-                jnp.where(take[:, None], wave.pos, acc.pos),
-                jnp.where(take[:, None], wave.dir, acc.dir),
-                jnp.where(take[:, None], wave.col, acc.col),
-                acc.stored | wave.stored)
-        out = acc if out is None else PhotonBatch(
-            jnp.concatenate([out.pos, acc.pos]),
-            jnp.concatenate([out.dir, acc.dir]),
-            jnp.concatenate([out.col, acc.col]),
-            jnp.concatenate([out.stored, acc.stored]))
-    if out is None:
-        out = PhotonBatch(jnp.zeros((1, 3), dt), jnp.zeros((1, 3), dt),
-                          jnp.zeros((1, 3), dt), jnp.zeros(1, bool))
-    return out
+    @jax.jit
+    def run(scene, key):
+        slot_idx = jnp.arange(count, dtype=jnp.uint32)
+        parts = []
+        for li in range(L):
+            acc0 = PhotonBatch(jnp.zeros((count, 3), dt),
+                               jnp.zeros((count, 3), dt),
+                               jnp.zeros((count, 3), dt),
+                               jnp.zeros(count, bool))
+
+            def retry_body(acc, t, li=li):
+                wave = _emit_wave(scene, cfg, sampler, li, slot_idx, t, key)
+                take = wave.stored & ~acc.stored
+                return PhotonBatch(
+                    jnp.where(take[:, None], wave.pos, acc.pos),
+                    jnp.where(take[:, None], wave.dir, acc.dir),
+                    jnp.where(take[:, None], wave.col, acc.col),
+                    acc.stored | wave.stored), None
+
+            acc, _ = jax.lax.scan(retry_body, acc0,
+                                  jnp.arange(max(cfg.photon_retries, 1)))
+            parts.append(acc)
+        return PhotonBatch(
+            jnp.concatenate([p.pos for p in parts]),
+            jnp.concatenate([p.dir for p in parts]),
+            jnp.concatenate([p.col for p in parts]),
+            jnp.concatenate([p.stored for p in parts]))
+
+    return run(scene, key)
 
 
 def build_photon_map(batch: PhotonBatch, world_min, world_max,
