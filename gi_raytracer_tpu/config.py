@@ -34,9 +34,10 @@ class RenderConfig:
     # --- photon mapping (util.h:27-28, raytracer.h:721-722) ---
     photons: int = 75_000            # PHOTONS
     photon_depth: int = 5            # PHOTON_DEPTH
-    photon_retries: int = 8          # reference retries each emission slot up
+    photon_retries: int = 4          # reference retries each emission slot up
                                      # to 500x serially (raytracer.h:602); the
-                                     # wavefront design oversamples instead
+                                     # wavefront design flattens retries into
+                                     # extra lanes and keeps the first success
     knn_k: int = 32                  # photon gather size (raytracer.h:258)
     caustic_max_depth: int = 10      # photon lookup depth gate (raytracer.h:258)
 

@@ -22,6 +22,7 @@ estimate over the k=32 nearest photons of the containing leaf
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -62,14 +63,17 @@ class PhotonBatch(NamedTuple):
     stored: jnp.ndarray
 
 
-def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
-               li: int, slot_idx: jnp.ndarray, try_i: int, key) -> PhotonBatch:
-    """One retry wave for all emission slots of light ``li``.
+def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
+                   li: int, h_idx: jnp.ndarray, key) -> PhotonBatch:
+    """Emission attempts for light ``li`` — one lane per (slot, retry).
 
-    Emission point/cone per light.h:47-53 + raytracer.h:604-618; the
-    specular-continuation chain per raytracer.h:633-695.
+    The reference's serial per-slot retry loop (raytracer.h:602) is
+    flattened into the batch axis: every retry is an independent lane; the
+    caller picks each slot's first successful attempt.  Emission point/cone
+    per light.h:47-53 + raytracer.h:604-618; the specular-continuation chain
+    per raytracer.h:633-695.
     """
-    R = slot_idx.shape[0]
+    R = h_idx.shape[0]
     dt = scene.lights.pos.dtype
     lpos = scene.lights.pos[li]
     lcol = scene.lights.col[li]
@@ -77,9 +81,6 @@ def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
     ldir = scene.lights.dir[li]
     langle = scene.lights.angle[li]
 
-    try_u = jnp.asarray(try_i).astype(jnp.uint32)
-    h_idx = (slot_idx * np.uint32(max(cfg.photon_retries, 1))
-             + try_u).astype(jnp.uint32)
     sx = sampler.sample(0, h_idx).astype(dt)
     sy = sampler.sample(1, h_idx).astype(dt)
 
@@ -89,8 +90,7 @@ def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
     surf = jnp.where(langle < 1.0, cap, sphere_pt)
     pos = lpos[None, :] + lrad * surf
 
-    ku = jax.random.fold_in(stream(key, int(Purpose.PHOTON_EMIT_X), li),
-                            try_u)
+    ku = stream(key, int(Purpose.PHOTON_EMIT_X), li)
     u = jax.random.uniform(ku, (2, R), dt)
     emit_dir = sphere_cap_cos(normalize(pos - lpos[None, :]), u[0], u[1],
                               2.0, langle)
@@ -100,7 +100,7 @@ def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
 
     # --- specular continuation chain ---------------------------------------
     ro, rd = pos, emit_dir
-    salt0 = (li + 1) * 40503 + try_u * jnp.uint32(97)
+    salt0 = jnp.uint32((li + 1) * 40503)
 
     hit = closest_hit(scene, ro, rd, salt=salt0, eps=cfg.epsilon)
     attrs = hit_attributes_uv(scene, ro, rd, hit.t, hit.prim, hit.u, hit.v)
@@ -124,8 +124,7 @@ def _emit_wave(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
     def body(s: Chain, depth):
         salt = salt0 + (depth.astype(jnp.uint32) + 1) * jnp.uint32(7919)
         kb = jax.random.fold_in(stream(key, int(Purpose.PHOTON_ALPHA), li),
-                                try_u)
-        kb = jax.random.fold_in(kb, depth)
+                                depth)
         uni = jax.random.uniform(kb, (4, R), dt)
 
         hit = closest_hit(scene, s.ro, s.rd, salt=salt, eps=cfg.epsilon)
@@ -182,35 +181,46 @@ def trace_photons(scene: Scene, cfg: RenderConfig,
         return PhotonBatch(jnp.zeros((1, 3), dt), jnp.zeros((1, 3), dt),
                            jnp.zeros((1, 3), dt), jnp.zeros(1, bool))
 
-    @jax.jit
-    def run(scene, key):
-        slot_idx = jnp.arange(count, dtype=jnp.uint32)
-        parts = []
-        for li in range(L):
-            acc0 = PhotonBatch(jnp.zeros((count, 3), dt),
-                               jnp.zeros((count, 3), dt),
-                               jnp.zeros((count, 3), dt),
-                               jnp.zeros(count, bool))
+    retries = max(cfg.photon_retries, 1)
+    # chunk over slots; each chunk is (slots_per_chunk * retries) lanes
+    slots_per_chunk = max(cfg.ray_chunk // retries, 1)
 
-            def retry_body(acc, t, li=li):
-                wave = _emit_wave(scene, cfg, sampler, li, slot_idx, t, key)
-                take = wave.stored & ~acc.stored
-                return PhotonBatch(
-                    jnp.where(take[:, None], wave.pos, acc.pos),
-                    jnp.where(take[:, None], wave.dir, acc.dir),
-                    jnp.where(take[:, None], wave.col, acc.col),
-                    acc.stored | wave.stored), None
-
-            acc, _ = jax.lax.scan(retry_body, acc0,
-                                  jnp.arange(max(cfg.photon_retries, 1)))
-            parts.append(acc)
+    @functools.partial(jax.jit, static_argnames=("li", "n_slots"))
+    def run_chunk(scene, key, start, li, n_slots):
+        """Attempts for slots [start, start+n_slots) of light li, with the
+        first successful retry selected per slot."""
+        slot = start + jnp.arange(n_slots, dtype=jnp.uint32)
+        # lane layout (slots, retries): h_idx = slot * retries + t, matching
+        # the reference's i*500+tries indexing scheme (raytracer.h:604)
+        h_idx = (slot[:, None] * jnp.uint32(retries)
+                 + jnp.arange(retries, dtype=jnp.uint32)[None, :]).ravel()
+        wave = _emit_attempts(scene, cfg, sampler, li, h_idx, key)
+        stored = wave.stored.reshape(n_slots, retries)
+        first = jnp.argmax(stored, axis=1)            # first success per slot
+        rows = jnp.arange(n_slots)
+        sel = rows * retries + first
         return PhotonBatch(
-            jnp.concatenate([p.pos for p in parts]),
-            jnp.concatenate([p.dir for p in parts]),
-            jnp.concatenate([p.col for p in parts]),
-            jnp.concatenate([p.stored for p in parts]))
+            wave.pos[sel], wave.dir[sel], wave.col[sel],
+            stored[rows, first])
 
-    return run(scene, key)
+    parts = []
+    for li in range(L):
+        pos_l, dir_l, col_l, st_l = [], [], [], []
+        for start in range(0, count, slots_per_chunk):
+            n = min(slots_per_chunk, count - start)
+            kc = jax.random.fold_in(key, start // slots_per_chunk)
+            b = run_chunk(scene, kc, jnp.uint32(start), li, n)
+            pos_l.append(b.pos); dir_l.append(b.dir)
+            col_l.append(b.col); st_l.append(b.stored)
+        parts.append(PhotonBatch(jnp.concatenate(pos_l),
+                                 jnp.concatenate(dir_l),
+                                 jnp.concatenate(col_l),
+                                 jnp.concatenate(st_l)))
+    return PhotonBatch(
+        jnp.concatenate([p.pos for p in parts]),
+        jnp.concatenate([p.dir for p in parts]),
+        jnp.concatenate([p.col for p in parts]),
+        jnp.concatenate([p.stored for p in parts]))
 
 
 def build_photon_map(batch: PhotonBatch, world_min, world_max,
