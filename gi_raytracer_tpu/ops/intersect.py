@@ -104,8 +104,16 @@ def _leaf_tri_test(scene: Scene, ro, rd, node, t_best, salt, eps):
 
 
 def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
-                eps: float = 1e-5, max_steps: Optional[int] = None) -> Hit:
-    """Nearest accepted hit along each ray (trace(), raytracer.h:382-478)."""
+                eps: float = 1e-5, active=None,
+                stop_on_first: bool = False) -> Hit:
+    """Nearest accepted hit along each ray (trace(), raytracer.h:382-478).
+
+    ``active``: lanes with active=False never traverse (vital inside the
+    bounce scan — dead lanes otherwise carry degenerate directions that
+    slab-test as hitting EVERY node and serialize the lockstep loop).
+    ``stop_on_first``: any-hit semantics — a lane terminates at its first
+    accepted hit (occlusion queries don't need the nearest one).
+    """
     R = ro.shape[0]
     dt = ro.dtype
     n_nodes = scene.bvh.n_nodes
@@ -122,7 +130,10 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
         u: jnp.ndarray
         v: jnp.ndarray
 
-    st = St(node=jnp.zeros((R,), jnp.int32), t=t0,
+    start = jnp.zeros((R,), jnp.int32)
+    if active is not None:
+        start = jnp.where(active, start, n_nodes)
+    st = St(node=start, t=t0,
             prim=jnp.full((R,), -1, jnp.int32),
             u=jnp.zeros((R,), dt), v=jnp.zeros((R,), dt))
 
@@ -131,14 +142,14 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
 
     def body(s):
         node = jnp.minimum(s.node, n_nodes - 1)
-        active = s.node < n_nodes
+        running = s.node < n_nodes
         nmin = scene.bvh.node_min[node]
         nmax = scene.bvh.node_max[node]
         ta = (nmin - ro) * inv_d
         tb = (nmax - ro) * inv_d
         tn = jnp.max(jnp.minimum(ta, tb), -1)
         tf = jnp.min(jnp.maximum(ta, tb), -1)
-        hit_box = active & (tf >= jnp.maximum(tn, 0.0)) & (tn < s.t)
+        hit_box = running & (tf >= jnp.maximum(tn, 0.0)) & (tn < s.t)
         cnt = scene.bvh.count[node]
         is_leaf = cnt > 0
         do_leaf = hit_box & is_leaf
@@ -152,7 +163,9 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
         v = jnp.where(upd, lv, s.v)
 
         nxt = jnp.where(hit_box & ~is_leaf, node + 1, scene.bvh.skip[node])
-        return St(jnp.where(active, nxt, s.node), t, prim, u, v)
+        if stop_on_first:
+            nxt = jnp.where(prim >= 0, n_nodes, nxt)
+        return St(jnp.where(running, nxt, s.node), t, prim, u, v)
 
     st = jax.lax.while_loop(cond, body, st)
 
@@ -166,6 +179,8 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
                + jnp.arange(scene.n_spheres, dtype=jnp.uint32))[None, :]
         uni = hash_u01(rid, sid, salt)
         ok &= (uni < p_acc) | (p_acc >= 1.0)
+        if active is not None:
+            ok &= active[:, None]
         ts = jnp.where(ok, ts, _BIG)
         j = jnp.argmin(ts, axis=1)
         rows = jnp.arange(R)
@@ -180,8 +195,10 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
     return Hit(st.t, jnp.where(miss, -1, st.prim), st.u, st.v)
 
 
-def any_hit(scene: Scene, ro, rd, t_limit, salt=0, eps: float = 1e-5) -> jnp.ndarray:
+def any_hit(scene: Scene, ro, rd, t_limit, salt=0, eps: float = 1e-5,
+            active=None) -> jnp.ndarray:
     """True where something accepted occludes (0, t_limit) — visible(),
-    raytracer.h:280-319.  Early-out: rays stop traversing once occluded."""
-    hit = closest_hit(scene, ro, rd, t_max=t_limit, salt=salt, eps=eps)
+    raytracer.h:280-319.  Lanes terminate at their first accepted hit."""
+    hit = closest_hit(scene, ro, rd, t_max=t_limit, salt=salt, eps=eps,
+                      active=active, stop_on_first=True)
     return hit.prim >= 0

@@ -46,7 +46,7 @@ class PathState(NamedTuple):
 
 
 def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
-                  u_light, salt):
+                  u_light, salt, active=None):
     """One shadow ray per light per bounce toward a uniform sphere point
     (raytracer.h:230-256).  Reference overwrites ``i`` per light (`=` not
     `+=`, raytracer.h:254); we sum — identical for the bundled single-light
@@ -67,7 +67,7 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
         max_t2 = jnp.sum(ldir * ldir, -1)
         t_lim = jnp.sqrt(max_t2) - bias
         occ = any_hit(scene, so, normalize(ldir), t_lim,
-                      salt=salt + 7919 * (li + 1))
+                      salt=salt + 7919 * (li + 1), active=active)
         if scene.has_fog:
             occ = occ | fog_occludes(scene, cfg, so, normalize(ldir), t_lim,
                                      salt + 104729 * (li + 1))
@@ -111,7 +111,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         u_rr, u_op, u_fs = uni[0], uni[1], uni[2]
         u_light = uni[4:]
 
-        hit = closest_hit(scene, st.ro, st.rd, salt=salt, eps=cfg.epsilon)
+        hit = closest_hit(scene, st.ro, st.rd, salt=salt, eps=cfg.epsilon,
+                          active=st.alive)
         attrs = hit_attributes_uv(scene, st.ro, st.rd, hit.t, hit.prim,
                                   hit.u, hit.v)
         color, em, alpha, rough, ior = material_lookup(scene, attrs.mat_id,
@@ -129,7 +130,7 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
                 point, normal, out_dir, f, color, contrib, rough, offset_sign)
 
         i_direct = _direct_light(scene, cfg, point, normal, rough,
-                                 u_light, salt)
+                                 u_light, salt, active=st.alive & attrs.valid)
 
         if photon_map is not None:
             from .photon import sample_photons

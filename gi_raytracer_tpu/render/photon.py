@@ -127,7 +127,8 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
                                 depth)
         uni = jax.random.uniform(kb, (4, R), dt)
 
-        hit = closest_hit(scene, s.ro, s.rd, salt=salt, eps=cfg.epsilon)
+        hit = closest_hit(scene, s.ro, s.rd, salt=salt, eps=cfg.epsilon,
+                          active=s.alive)
         attrs = hit_attributes_uv(scene, s.ro, s.rd, hit.t, hit.prim,
                                   hit.u, hit.v)
         color, _, alpha, rough, ior = material_lookup(scene, attrs.mat_id,
