@@ -27,8 +27,28 @@ class BVHArrays:
     prim_idx: np.ndarray   # (P,) int32
 
 
-def build_bvh(pmin: np.ndarray, pmax: np.ndarray, leaf_size: int = 4) -> BVHArrays:
-    """Build from per-primitive AABBs (pmin/pmax: (P, 3))."""
+def build_bvh(pmin: np.ndarray, pmax: np.ndarray, leaf_size: int = 4,
+              use_native: bool = True) -> BVHArrays:
+    """Build from per-primitive AABBs (pmin/pmax: (P, 3)).
+
+    Prefers the native binned-SAH builder (gi_raytracer_tpu/native) when the
+    toolchain is available; falls back to the NumPy median-split builder.
+    Both emit the identical preorder skip-link array contract.
+    """
+    if use_native and len(pmin) > 0:
+        try:
+            from ..native import build_bvh_native
+            out = build_bvh_native(np.asarray(pmin), np.asarray(pmax),
+                                   leaf_size)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    return _build_bvh_numpy(pmin, pmax, leaf_size)
+
+
+def _build_bvh_numpy(pmin: np.ndarray, pmax: np.ndarray,
+                     leaf_size: int = 4) -> BVHArrays:
     P = len(pmin)
     if P == 0:
         return BVHArrays(np.zeros((1, 3), np.float64),

@@ -1,0 +1,79 @@
+"""Pallas dense-chunk kernel vs jnp BVH traversal (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gi_raytracer_tpu.ops import closest_hit
+from gi_raytracer_tpu.ops.pallas_intersect import pallas_closest_hit
+from gi_raytracer_tpu.scene import SceneBuilder
+
+
+@pytest.fixture(scope="module")
+def scene_and_rays():
+    rng = np.random.default_rng(7)
+    b = SceneBuilder()
+    t0 = b.add_texture_const((1, 1, 1))
+    m = b.add_material(t0, t0, 1.0, 1.0, 1.0)
+    centers = rng.uniform(-5, 5, (300, 3))
+    tris = centers[:, None, :] + rng.uniform(-0.9, 0.9, (300, 3, 3))
+    b.add_triangles(tris, None, None, m)
+    scene = b.build(dtype=np.float32)
+    R = 700   # non-multiple of RAY_TILE exercises padding
+    ro = rng.uniform(-8, 8, (R, 3)).astype(np.float32)
+    rd = rng.normal(size=(R, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return scene, jnp.asarray(ro), jnp.asarray(rd)
+
+
+def test_pallas_matches_jnp_closest(scene_and_rays):
+    scene, ro, rd = scene_and_rays
+    ref = closest_hit(scene, ro, rd)
+    got = pallas_closest_hit(scene, ro, rd, interpret=True)
+    rt, gt = np.asarray(ref.t), np.asarray(got.t)
+    hits = np.isfinite(rt)
+    assert (hits == np.isfinite(gt)).all()
+    np.testing.assert_allclose(gt[hits], rt[hits], rtol=1e-5)
+    same = np.asarray(ref.prim) == np.asarray(got.prim)
+    # ids agree except possibly on exact-tie distances
+    assert same[hits].mean() > 0.99
+
+
+def test_pallas_respects_tmax_and_active(scene_and_rays):
+    scene, ro, rd = scene_and_rays
+    ref = closest_hit(scene, ro, rd)
+    rt = np.asarray(ref.t)
+    hits = np.isfinite(rt)
+    # t_max below the first hit -> miss
+    lim = jnp.asarray(np.where(hits, rt * 0.5, 1.0).astype(np.float32))
+    got = pallas_closest_hit(scene, ro, rd, t_max=lim, interpret=True)
+    assert (np.asarray(got.prim)[hits] == -1).all()
+    # inactive lanes never hit
+    act = jnp.zeros(ro.shape[0], bool)
+    got2 = pallas_closest_hit(scene, ro, rd, active=act, interpret=True)
+    assert (np.asarray(got2.prim) == -1).all()
+
+
+def test_pallas_any_hit(scene_and_rays):
+    scene, ro, rd = scene_and_rays
+    ref = closest_hit(scene, ro, rd)
+    hits = np.isfinite(np.asarray(ref.t))
+    got = pallas_closest_hit(scene, ro, rd, any_hit=True, interpret=True)
+    assert ((np.asarray(got.prim) >= 0) == hits).all()
+
+
+def test_pallas_stochastic_alpha(scene_and_rays):
+    rng = np.random.default_rng(3)
+    b = SceneBuilder()
+    t0 = b.add_texture_const((1, 1, 1))
+    m0 = b.add_material(t0, t0, 1.0, 0.0, 1.0)   # opacity 0, never hit
+    m1 = b.add_material(t0, t0, 1.0, 0.0, 1.5)   # refractive, always hit
+    b.add_triangle([(-9, -9, 2), (9, -9, 2), (0, 9, 2)], mat_id=m0)
+    b.add_triangle([(-9, -9, 5), (9, -9, 5), (0, 9, 5)], mat_id=m1)
+    scene = b.build(dtype=np.float32)
+    R = 256
+    ro = jnp.zeros((R, 3), jnp.float32)
+    rd = jnp.tile(jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (R, 1))
+    got = pallas_closest_hit(scene, ro, rd, interpret=True)
+    assert (np.asarray(got.prim) == 1).all()
+    assert np.allclose(np.asarray(got.t), 5.0)
