@@ -52,6 +52,7 @@ class RenderConfig:
 
     # --- execution ---
     dtype: str = "float32"           # compute dtype ("float32"|"float64")
+    intersect_backend: str = "auto"  # "auto"|"pallas"|"jnp"
     ray_chunk: int = 1 << 17         # rays per device dispatch
     seed: int = 0                    # base PRNG seed (deterministic runs)
 

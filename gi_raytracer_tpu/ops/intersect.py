@@ -202,3 +202,72 @@ def any_hit(scene: Scene, ro, rd, t_limit, salt=0, eps: float = 1e-5,
     hit = closest_hit(scene, ro, rd, t_max=t_limit, salt=salt, eps=eps,
                       active=active, stop_on_first=True)
     return hit.prim >= 0
+
+
+# --------------------------------------------------------------------------
+# backend dispatch (jnp lockstep BVH vs Pallas dense-chunk kernel)
+# --------------------------------------------------------------------------
+
+def _sphere_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
+                 t_max=None) -> Hit:
+    """Dense analytic-sphere closest-hit layered over a triangle Hit."""
+    if not scene.n_spheres:
+        return hit
+    R = ro.shape[0]
+    ts, ok = ray_sphere(ro[:, None, :], rd[:, None, :],
+                        scene.spheres.pos[None], scene.spheres.rad[None])
+    p_acc = _accept_prob(scene, scene.spheres.mat_id)[None, :]
+    rid = jnp.arange(R, dtype=jnp.uint32)[:, None]
+    sid = (scene.n_tris
+           + jnp.arange(scene.n_spheres, dtype=jnp.uint32))[None, :]
+    uni = hash_u01(rid, sid, salt)
+    ok &= (uni < p_acc) | (p_acc >= 1.0)
+    if active is not None:
+        ok &= active[:, None]
+    if t_max is not None:
+        ok &= ts < jnp.broadcast_to(t_max, (R,)).astype(ts.dtype)[:, None]
+    ts = jnp.where(ok, ts, _BIG)
+    j = jnp.argmin(ts, axis=1)
+    rows = jnp.arange(R)
+    tb = ts[rows, j]
+    cur_t = jnp.where(hit.prim >= 0, hit.t, _BIG)
+    upd = tb < cur_t
+    return Hit(jnp.where(upd, tb, hit.t),
+               jnp.where(upd, scene.n_tris + j.astype(jnp.int32), hit.prim),
+               jnp.where(upd, 0.0, hit.u), jnp.where(upd, 0.0, hit.v))
+
+
+def use_pallas(scene: Scene, backend: str = "auto") -> bool:
+    import jax as _jax
+    from .pallas_intersect import VMEM_TRI_CAP
+
+    if backend == "jnp":
+        return False
+    if backend == "pallas":
+        return True
+    return (_jax.default_backend() not in ("cpu",)
+            and 0 < scene.n_tris <= VMEM_TRI_CAP)
+
+
+def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
+                  active=None, backend: str = "auto") -> Hit:
+    """Backend-dispatched, differentiable closest-hit (tris + spheres)."""
+    if use_pallas(scene, backend):
+        from .pallas_intersect import pallas_closest_hit
+        hit = pallas_closest_hit(scene, ro, rd, t_max=t_max, salt=salt,
+                                 eps=eps, active=active, differentiable=True)
+        return _sphere_pass(scene, ro, rd, hit, salt, active, t_max)
+    return closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
+                       active=active)
+
+
+def trace_any(scene: Scene, ro, rd, t_limit, salt=0, eps=1e-5,
+              active=None, backend: str = "auto") -> jnp.ndarray:
+    """Backend-dispatched occlusion query."""
+    if use_pallas(scene, backend):
+        from .pallas_intersect import pallas_closest_hit
+        hit = pallas_closest_hit(scene, ro, rd, t_max=t_limit, salt=salt,
+                                 eps=eps, active=active, any_hit=True)
+        hit = _sphere_pass(scene, ro, rd, hit, salt, active, t_limit)
+        return hit.prim >= 0
+    return any_hit(scene, ro, rd, t_limit, salt=salt, eps=eps, active=active)

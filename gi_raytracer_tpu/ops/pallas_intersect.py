@@ -288,10 +288,13 @@ def build_tri_soa(scene):
 
 
 def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
-                       active=None, any_hit=False, interpret=False):
+                       active=None, any_hit=False, interpret=False,
+                       differentiable=True):
     """Drop-in closest-hit/any-hit over the Pallas dense kernel.
     Returns the same Hit tuple as ops.intersect.closest_hit (triangles
-    only — the caller layers the dense sphere pass on top)."""
+    only — the caller layers the dense sphere pass on top).  With
+    ``differentiable``, hit.t/u/v carry gradients to scene.tris and rays
+    via the custom VJP (selection detached)."""
     from .intersect import Hit
 
     R = ro.shape[0]
@@ -315,11 +318,76 @@ def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
     salt_arr = jnp.asarray(salt, jnp.int32).reshape(1, 1)
     diag_arr = diag.reshape(1, 1)
 
-    t, u, v, prim = _dense_trace(soa, cbox, rop, rdp, tl, ac,
-                                 salt_arr, diag_arr,
-                                 any_hit=any_hit, eps=eps,
-                                 interpret=interpret)
+    if differentiable:
+        t, u, v, prim = _dense_trace_diff(soa, cbox, rop, rdp, tl, ac,
+                                          salt_arr, diag_arr,
+                                          any_hit, eps, interpret)
+    else:
+        t, u, v, prim = _dense_trace(soa, cbox, rop, rdp, tl, ac,
+                                     salt_arr, diag_arr,
+                                     any_hit=any_hit, eps=eps,
+                                     interpret=interpret)
     t = t[:R].astype(ro.dtype)
     t = jnp.where(prim[:R] >= 0, t, jnp.inf)
     return Hit(t, prim[:R],
                u[:R].astype(ro.dtype), v[:R].astype(ro.dtype))
+
+
+# --------------------------------------------------------------------------
+# differentiable wrapper: forward = Pallas kernel; backward = analytic MT
+# derivative at the discovered primitive (selection detached), so pixel
+# gradients flow into vertex positions and ray origins/directions.  Applied
+# at the _dense_trace level (pure array inputs); the soa cotangent continues
+# back through build_tri_soa into scene.tris by ordinary autodiff.
+# --------------------------------------------------------------------------
+
+def _hit_formula(soa, ro, rd, prim, eps):
+    """(t, u, v) recomputed symbolically for the selected primitive."""
+    from .intersect import ray_triangle
+
+    v0 = soa[0:3].T
+    e1 = soa[3:6].T
+    e2 = soa[6:9].T
+    ok = prim >= 0
+    p = jnp.clip(prim, 0, v0.shape[0] - 1)
+    t, u, v, valid = ray_triangle(ro, rd, v0[p], e1[p], e2[p], eps)
+    m = ok & valid
+    return (jnp.where(m, t, 0.0), jnp.where(m, u, 0.0), jnp.where(m, v, 0.0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _dense_trace_diff(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
+                      any_hit, eps, interpret):
+    return _dense_trace(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
+                        any_hit=any_hit, eps=eps, interpret=interpret)
+
+
+def _dtd_fwd(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
+             any_hit, eps, interpret):
+    out = _dense_trace(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
+                       any_hit=any_hit, eps=eps, interpret=interpret)
+    t, u, v, prim = out
+    return out, (tri_soa, cbox, ro, rd, t_lim, active, salt, diag, prim)
+
+
+def _float0(x):
+    import numpy as _np
+    return _np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _dtd_bwd(any_hit, eps, interpret, res, g):
+    tri_soa, cbox, ro, rd, t_lim, active, salt, diag, prim = res
+    gt, gu, gv, _gp = g
+    gt = jnp.where(jnp.isfinite(gt), gt, 0.0)
+
+    def f(soa, ro_, rd_):
+        return _hit_formula(soa, ro_, rd_, prim, eps)
+
+    _, vjp = jax.vjp(f, tri_soa, ro, rd)
+    dsoa, dro, drd = vjp((gt, gu, gv))
+    return (dsoa, jnp.zeros_like(cbox), dro, drd,
+            jnp.zeros_like(t_lim), jnp.zeros_like(active),
+            _float0(salt), jnp.zeros_like(diag))
+
+
+_dense_trace_diff.defvjp(_dtd_fwd, _dtd_bwd)

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from ..ops.intersect import closest_hit, any_hit
+from ..ops.intersect import trace_closest, trace_any
 from ..sampling.halton import HaltonSampler, HaltonEnum, MAX_QMC_DIMS
 from ..sampling.rng import Purpose, stream
 from ..scene.types import Scene
@@ -66,8 +66,9 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
         ldir = lp - so
         max_t2 = jnp.sum(ldir * ldir, -1)
         t_lim = jnp.sqrt(max_t2) - bias
-        occ = any_hit(scene, so, normalize(ldir), t_lim,
-                      salt=salt + 7919 * (li + 1), active=active)
+        occ = trace_any(scene, so, normalize(ldir), t_lim,
+                        salt=salt + 7919 * (li + 1), active=active,
+                        backend=cfg.intersect_backend)
         if scene.has_fog:
             occ = occ | fog_occludes(scene, cfg, so, normalize(ldir), t_lim,
                                      salt + 104729 * (li + 1))
@@ -111,8 +112,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         u_rr, u_op, u_fs = uni[0], uni[1], uni[2]
         u_light = uni[4:]
 
-        hit = closest_hit(scene, st.ro, st.rd, salt=salt, eps=cfg.epsilon,
-                          active=st.alive)
+        hit = trace_closest(scene, st.ro, st.rd, salt=salt, eps=cfg.epsilon,
+                            active=st.alive, backend=cfg.intersect_backend)
         attrs = hit_attributes_uv(scene, st.ro, st.rd, hit.t, hit.prim,
                                   hit.u, hit.v)
         color, em, alpha, rough, ior = material_lookup(scene, attrs.mat_id,

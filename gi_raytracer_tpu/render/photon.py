@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import RenderConfig
-from ..ops.intersect import closest_hit
+from ..ops.intersect import trace_closest
 from ..sampling.halton import HaltonSampler
 from ..sampling.rng import Purpose, stream
 from ..scene.types import Scene
@@ -102,7 +102,8 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
     ro, rd = pos, emit_dir
     salt0 = jnp.uint32((li + 1) * 40503)
 
-    hit = closest_hit(scene, ro, rd, salt=salt0, eps=cfg.epsilon)
+    hit = trace_closest(scene, ro, rd, salt=salt0, eps=cfg.epsilon,
+                        backend=cfg.intersect_backend)
     attrs = hit_attributes_uv(scene, ro, rd, hit.t, hit.prim, hit.u, hit.v)
     _, _, _, rough, _ = material_lookup(scene, attrs.mat_id, attrs.uv)
     alive = attrs.valid & (rough < 0.1)   # only specular-first paths matter
@@ -127,8 +128,8 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
                                 depth)
         uni = jax.random.uniform(kb, (4, R), dt)
 
-        hit = closest_hit(scene, s.ro, s.rd, salt=salt, eps=cfg.epsilon,
-                          active=s.alive)
+        hit = trace_closest(scene, s.ro, s.rd, salt=salt, eps=cfg.epsilon,
+                            active=s.alive, backend=cfg.intersect_backend)
         attrs = hit_attributes_uv(scene, s.ro, s.rd, hit.t, hit.prim,
                                   hit.u, hit.v)
         color, _, alpha, rough, ior = material_lookup(scene, attrs.mat_id,
