@@ -67,6 +67,72 @@ def ray_sphere(ro, rd, center, rad):
     return jnp.where(ok, t, _BIG), ok
 
 
+def ray_cone(ro, rd, pos, rad, height, w2l):
+    """Batched analytic finite-cone test (entities.h:158-258, PBRT-style).
+
+    ro/rd broadcast against leading cone dims; pos (…,3), rad/height (…,),
+    w2l (…,3,3) world->local rotation.  Returns (t, ok); the clip test keeps
+    the nearer root with local z in [0, height], falling back to the farther
+    root like the reference (entities.h:225-241).
+    """
+    o = jnp.einsum("...ij,...j->...i", w2l, ro - pos)
+    d = jnp.einsum("...ij,...j->...i", w2l, rd)
+    k = (rad / height) ** 2
+    oz_h = o[..., 2] - height
+    A = d[..., 0] ** 2 + d[..., 1] ** 2 - k * d[..., 2] ** 2
+    B = 2.0 * (d[..., 0] * o[..., 0] + d[..., 1] * o[..., 1]
+               - k * d[..., 2] * oz_h)
+    C = o[..., 0] ** 2 + o[..., 1] ** 2 - k * oz_h ** 2
+    disc = B * B - 4.0 * A * C
+    ok = disc >= 0
+    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
+    q = jnp.where(B < 0, -0.5 * (B - root), -0.5 * (B + root))
+    # guard the degenerate divisions (A==0: ray parallel to the surface)
+    safe_A = jnp.where(jnp.abs(A) < 1e-30, 1e-30, A)
+    safe_q = jnp.where(jnp.abs(q) < 1e-30, 1e-30, q)
+    t1 = q / safe_A
+    t2 = C / safe_q
+    lo = jnp.minimum(t1, t2)
+    hi = jnp.maximum(t1, t2)
+    ok &= hi > 0
+    near = jnp.where(lo > 0, lo, hi)
+
+    def clipped(t):
+        z = o[..., 2] + d[..., 2] * t
+        return (z >= 0) & (z <= height) & (t > 0)
+
+    use_far = ~clipped(near)
+    t = jnp.where(use_far, hi, near)
+    ok &= clipped(t)
+    return jnp.where(ok, t, _BIG), ok
+
+
+def cone_attrs(cones, point, prim_local):
+    """(normal, uv) at world-space hit points on cone ``prim_local``
+    (entities.h:246-256).  The local-frame normal cross(dpdu, dpdv) is
+    rotated back to world space — the reference returns it un-rotated, a
+    latent bug its scenes never exercise (they only use coneMesh)."""
+    pos = cones.pos[prim_local]
+    h = cones.height[prim_local]
+    w2l = cones.w2l[prim_local]
+    p = jnp.einsum("...ij,...j->...i", w2l, point - pos)
+    phi = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    u = phi / (2 * jnp.pi)
+    v = p[..., 2] / h
+    two_pi = 2 * jnp.pi
+    dpdu = jnp.stack([-two_pi * p[..., 1], two_pi * p[..., 0],
+                      jnp.zeros_like(u)], -1)
+    omv = jnp.where(jnp.abs(1.0 - v) < 1e-9, 1e-9, 1.0 - v)
+    dpdv = jnp.stack([-p[..., 0] / omv, -p[..., 1] / omv,
+                      jnp.broadcast_to(h, u.shape)], -1)
+    n_local = jnp.cross(dpdu, dpdv)
+    nl = jnp.linalg.norm(n_local, axis=-1, keepdims=True)
+    n_local = n_local / jnp.maximum(nl, 1e-30)
+    n_world = jnp.einsum("...ji,...j->...i", w2l, n_local)
+    return n_world, jnp.stack([u, v], -1)
+
+
 def _accept_prob(scene: Scene, mat_id):
     """P(candidate accepted) gate: alpha<1 materials pass stochastically
     unless refractive (IOR != 1 always accepted) — raytracer.h:455."""
@@ -167,7 +233,8 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
             nxt = jnp.where(prim >= 0, n_nodes, nxt)
         return St(jnp.where(running, nxt, s.node), t, prim, u, v)
 
-    st = jax.lax.while_loop(cond, body, st)
+    if scene.n_tris:  # cone/sphere-only scenes have no BVH to traverse
+        st = jax.lax.while_loop(cond, body, st)
 
     # dense sphere pass (few spheres; outside the BVH)
     if scene.n_spheres:
@@ -191,8 +258,8 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
                 jnp.where(upd, scene.n_tris + j.astype(jnp.int32), st.prim),
                 jnp.where(upd, 0.0, st.u), jnp.where(upd, 0.0, st.v))
 
-    miss = ~jnp.isfinite(st.t)
-    return Hit(st.t, jnp.where(miss, -1, st.prim), st.u, st.v)
+    hit = Hit(st.t, jnp.where(~jnp.isfinite(st.t), -1, st.prim), st.u, st.v)
+    return _cone_pass(scene, ro, rd, hit, salt, active, t_max)
 
 
 def any_hit(scene: Scene, ro, rd, t_limit, salt=0, eps: float = 1e-5,
@@ -237,6 +304,38 @@ def _sphere_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
                jnp.where(upd, 0.0, hit.u), jnp.where(upd, 0.0, hit.v))
 
 
+def _cone_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
+               t_max=None) -> Hit:
+    """Dense analytic-cone closest-hit layered over an existing Hit (cones
+    are rare; like spheres they are tested densely outside the BVH)."""
+    if not scene.n_cones:
+        return hit
+    R = ro.shape[0]
+    cn = scene.cones
+    ts, ok = ray_cone(ro[:, None, :], rd[:, None, :], cn.pos[None],
+                      cn.rad[None], cn.height[None], cn.w2l[None])
+    p_acc = _accept_prob(scene, cn.mat_id)[None, :]
+    rid = jnp.arange(R, dtype=jnp.uint32)[:, None]
+    cid = (scene.n_tris + scene.n_spheres
+           + jnp.arange(scene.n_cones, dtype=jnp.uint32))[None, :]
+    uni = hash_u01(rid, cid, salt)
+    ok &= (uni < p_acc) | (p_acc >= 1.0)
+    if active is not None:
+        ok &= active[:, None]
+    if t_max is not None:
+        ok &= ts < jnp.broadcast_to(t_max, (R,)).astype(ts.dtype)[:, None]
+    ts = jnp.where(ok, ts, _BIG)
+    j = jnp.argmin(ts, axis=1)
+    rows = jnp.arange(R)
+    tb = ts[rows, j]
+    cur_t = jnp.where(hit.prim >= 0, hit.t, _BIG)
+    upd = tb < cur_t
+    base = scene.n_tris + scene.n_spheres
+    return Hit(jnp.where(upd, tb, hit.t),
+               jnp.where(upd, base + j.astype(jnp.int32), hit.prim),
+               jnp.where(upd, 0.0, hit.u), jnp.where(upd, 0.0, hit.v))
+
+
 def use_pallas(scene: Scene, backend: str = "auto") -> bool:
     import jax as _jax
     from .pallas_intersect import VMEM_TRI_CAP
@@ -256,7 +355,8 @@ def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
         from .pallas_intersect import pallas_closest_hit
         hit = pallas_closest_hit(scene, ro, rd, t_max=t_max, salt=salt,
                                  eps=eps, active=active, differentiable=True)
-        return _sphere_pass(scene, ro, rd, hit, salt, active, t_max)
+        hit = _sphere_pass(scene, ro, rd, hit, salt, active, t_max)
+        return _cone_pass(scene, ro, rd, hit, salt, active, t_max)
     return closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
                        active=active)
 
@@ -269,5 +369,6 @@ def trace_any(scene: Scene, ro, rd, t_limit, salt=0, eps=1e-5,
         hit = pallas_closest_hit(scene, ro, rd, t_max=t_limit, salt=salt,
                                  eps=eps, active=active, any_hit=True)
         hit = _sphere_pass(scene, ro, rd, hit, salt, active, t_limit)
+        hit = _cone_pass(scene, ro, rd, hit, salt, active, t_limit)
         return hit.prim >= 0
     return any_hit(scene, ro, rd, t_limit, salt=salt, eps=eps, active=active)

@@ -177,7 +177,10 @@ class Renderer:
         self.sampler = HaltonSampler()
         self.enum = HaltonEnum(width, height)
         self.photon_map = photon_map
-        self._key = jax.random.PRNGKey(config.seed)
+        # host NumPy key: a device-array closure constant is fetched back
+        # from the device on every jit lowering (seconds over a TPU tunnel)
+        import numpy as _np
+        self._key = _np.asarray(jax.random.PRNGKey(config.seed))
 
     def _bounce_samples(self, idx_flat):
         """(D, R) QMC/PRNG pairs for every bounce (raytracer.h:172-173)."""

@@ -94,7 +94,7 @@ def hit_attributes_uv(scene: Scene, ro, rd, t, prim, bu, bv) -> HitAttrs:
     re-normalized (parity with the reference).  Spheres per entities.h:85-97.
     """
     valid = prim >= 0
-    total = max(scene.n_tris + scene.n_spheres - 1, 0)
+    total = max(scene.n_tris + scene.n_spheres + scene.n_cones - 1, 0)
     p = jnp.clip(prim, 0, total)
     is_tri = p < scene.n_tris if scene.n_tris else jnp.zeros_like(valid)
     # miss lanes carry t=inf; sanitize so masked-out lanes never produce
@@ -136,6 +136,16 @@ def hit_attributes_uv(scene: Scene, ro, rd, t, prim, bu, bv) -> HitAttrs:
         mat_id = jnp.where(is_tri, tri_mat, sph_mat)
     else:
         normal, uv, mat_id = tri_n, tri_uv, tri_mat
+
+    if scene.n_cones:
+        from ..ops.intersect import cone_attrs
+        base = scene.n_tris + scene.n_spheres
+        cp = jnp.clip(p - base, 0, scene.n_cones - 1)
+        cone_n, cone_uv = cone_attrs(scene.cones, point, cp)
+        is_cone = p >= base
+        normal = jnp.where(is_cone[:, None], cone_n, normal)
+        uv = jnp.where(is_cone[:, None], cone_uv, uv)
+        mat_id = jnp.where(is_cone, scene.cones.mat_id[cp], mat_id)
 
     return HitAttrs(point, normal, uv, mat_id, valid)
 

@@ -144,12 +144,16 @@ class HaltonSampler:
         else:
             raise ValueError(f"unknown scramble: {scramble}")
 
-        self._tables: dict[int, jnp.ndarray] = {}
+        # Tables stay HOST-side NumPy: a jnp closure constant would live on
+        # the device and be fetched back during every jit lowering (several
+        # seconds per round-trip through a remote-TPU tunnel); NumPy
+        # constants embed into the MLIR module directly.
+        self._tables: dict[int, np.ndarray] = {}
         self._meta: dict[int, tuple[int, int, float]] = {}
         for p in PRIMES[1:]:
             k = _table_digits(p)
             c = _total_chunks(p, k)
-            self._tables[p] = jnp.asarray(_build_table(p, perms[p], k))
+            self._tables[p] = _build_table(p, perms[p], k)
             self._meta[p] = (k, c, _SCALE_EPS / float(p ** (k * c)))
 
     @functools.partial(jax.jit, static_argnums=(0, 1))
@@ -164,7 +168,7 @@ class HaltonSampler:
             return halton2(index)
         p = PRIMES[dim]
         k, c, scale = self._meta[p]
-        table = self._tables[p]
+        table = jnp.asarray(self._tables[p])
         chunk = np.uint32(p ** k)
         acc = jnp.zeros(index.shape, dtype=jnp.uint32)
         div = index
@@ -227,7 +231,8 @@ class HaltonEnum:
             rem //= 3
         off = (hx[None, :] * np.uint64(self._mx)
                + hy[:, None] * np.uint64(self._my)) % np.uint64(self.increment)
-        self.offsets = jnp.asarray(off.astype(np.uint32))  # (H, W)
+        # host NumPy, not jnp: see HaltonSampler.__init__ on lowering cost
+        self.offsets = off.astype(np.uint32)  # (H, W)
 
     @property
     def max_samples_per_pixel(self) -> int:
@@ -235,10 +240,10 @@ class HaltonEnum:
 
     def get_index(self, i: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         """Index of the i-th sample in pixel (x, y) (halton_enum.h:106-114)."""
-        off = self.offsets[y, x]
+        off = jnp.asarray(self.offsets)[y, x]
         return (off + i.astype(jnp.uint32) * jnp.uint32(self.increment)).astype(jnp.uint32)
 
     def index_image(self, i) -> jnp.ndarray:
         """(H, W) indices for sample wave ``i`` across the whole frame."""
         i = jnp.asarray(i, dtype=jnp.uint32)
-        return self.offsets + i * jnp.uint32(self.increment)
+        return jnp.asarray(self.offsets) + i * jnp.uint32(self.increment)

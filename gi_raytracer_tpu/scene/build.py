@@ -46,6 +46,7 @@ class SceneBuilder:
         self._tri_uv = []      # (3,2)
         self._tri_mat = []
         self._sph_pos, self._sph_rad, self._sph_mat = [], [], []
+        self._cone = []        # (pos, rot, rad, height, mat_id)
         self._light_pos, self._light_col, self._light_rad = [], [], []
         self._tex: list[_TexDef] = []
         self._mat = []         # (dif, em, rough, opac, ior)
@@ -103,6 +104,12 @@ class SceneBuilder:
         self._sph_pos.append(tuple(pos))
         self._sph_rad.append(float(rad))
         self._sph_mat.append(mat_id)
+
+    def add_cone(self, pos, rot, rad: float, height: float, mat_id: int):
+        """Analytic finite cone: base disk radius ``rad`` at local z=0,
+        apex at z=``height`` (entities.h:144-156); ``rot`` = euler XYZ."""
+        self._cone.append((tuple(pos), tuple(rot), float(rad), float(height),
+                           int(mat_id)))
 
     def add_light(self, pos, col, rad: float):
         self._light_pos.append(tuple(pos))
@@ -186,6 +193,32 @@ class SceneBuilder:
         spheres = T.Spheres(pos=jnp.asarray(sp, f), rad=jnp.asarray(sr, f),
                             mat_id=jnp.asarray(self._sph_mat, np.int32))
 
+        # analytic cones: world->local rotation is glm's row-vector
+        # ``v * inverse(eulerAngleXYZ(r))`` (entities.h:155-165), which for an
+        # orthonormal euler matrix M reduces to  local = M @ (world - pos).
+        nC = len(self._cone)
+        if nC:
+            cpos = np.asarray([c[0] for c in self._cone], np.float64)
+            crad = np.asarray([c[2] for c in self._cone], np.float64)
+            chei = np.asarray([c[3] for c in self._cone], np.float64)
+            cw2l = np.stack([euler_xyz(*c[1]) for c in self._cone])
+            cmat = np.asarray([c[4] for c in self._cone], np.int32)
+            cones = T.Cones(pos=jnp.asarray(cpos, f), rad=jnp.asarray(crad, f),
+                            height=jnp.asarray(chei, f),
+                            w2l=jnp.asarray(cw2l, f),
+                            mat_id=jnp.asarray(cmat))
+            # bbox from the 5 transformed pyramid verts (entities.h:260-299)
+            base = np.array([[-1, -1, 0], [-1, 1, 0], [1, -1, 0], [1, 1, 0],
+                             [0, 0, 0]], np.float64)
+            verts = base[None] * crad[:, None, None]
+            verts[:, 4, 2] = chei
+            world = np.einsum("cji,cvj->cvi", cw2l, verts) + cpos[:, None]
+            cone_min = world.min(1)
+            cone_max = world.max(1)
+        else:
+            cones = None
+            cone_min = np.zeros((0, 3)); cone_max = np.zeros((0, 3))
+
         ldir, langle = self._light_cones(np.float64)
         lights = T.Lights(
             pos=jnp.asarray(np.asarray(self._light_pos, np.float64).reshape(-1, 3), f),
@@ -218,8 +251,8 @@ class SceneBuilder:
 
         sph_min = sp - sr[:, None] if len(sr) else np.zeros((0, 3))
         sph_max = sp + sr[:, None] if len(sr) else np.zeros((0, 3))
-        pmin = np.concatenate([tri_min, sph_min], 0)
-        pmax = np.concatenate([tri_max, sph_max], 0)
+        pmin = np.concatenate([tri_min, sph_min, cone_min], 0)
+        pmax = np.concatenate([tri_max, sph_max, cone_max], 0)
         wmin = pmin.min(0) if len(pmin) else np.zeros(3)
         wmax = pmax.max(0) if len(pmax) else np.ones(3)
 
@@ -238,7 +271,7 @@ class SceneBuilder:
                         scatter=jnp.asarray(scat, f),
                         grid=jnp.asarray(grid, f))
 
-        return T.Scene(tris=tris, spheres=spheres, lights=lights,
+        return T.Scene(tris=tris, spheres=spheres, cones=cones, lights=lights,
                        materials=materials, textures=textures, bvh=bvh,
                        fog=fog,
                        world_min=jnp.asarray(wmin, f),

@@ -9,6 +9,7 @@ Grammar (line-oriented, whitespace-separated):
   multiMat <i> <j> ...            (parsed but unused, like the reference)
   mesh <file.obj> <px py pz> <rx ry rz> <mat>
   sphere <px py pz> <rad> <mat>
+  cone <px py pz> <rx ry rz> <rad> <height> <mat>   (extension)
   box <px py pz> <sx sy sz> <rx ry rz> <mat>
   light <px py pz> <r g b> <rad>
   heightFog <px py pz> <sx sy sz> <r g b> <density> <scatter> <scale>
@@ -131,6 +132,13 @@ def load_scene(path: str, base_config: RenderConfig | None = None,
         elif key == "sphere":
             v = take(5)
             b.add_sphere(tuple(float(x) for x in v[0:3]), float(v[3]), int(v[4]))
+        elif key == "cone":
+            # extension: analytic cone (the reference exposes the primitive,
+            # entities.h:144-299, but its .scn grammar never did)
+            v = take(9)
+            b.add_cone(tuple(float(x) for x in v[0:3]),
+                       tuple(float(x) for x in v[3:6]),
+                       float(v[6]), float(v[7]), int(v[8]))
         elif key == "box":
             v = take(10)
             tris = box_mesh([float(x) for x in v[0:3]],

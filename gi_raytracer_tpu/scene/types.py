@@ -60,6 +60,26 @@ class Spheres:
 
 
 @struct.dataclass
+class Cones:
+    """Analytic finite cones (entities.h:144-299): apex on the +z axis at
+    ``height`` in object space, base disk of radius ``rad`` at z=0.
+
+    ``w2l`` is the world->object rotation (the reference's row-vector
+    ``v * inverse(eulerAngleXYZ(...))``, entities.h:155-165); rays are
+    transformed into object space instead of transforming the cone.
+    """
+    pos: jnp.ndarray      # (C, 3) base center (world)
+    rad: jnp.ndarray      # (C,)
+    height: jnp.ndarray   # (C,)
+    w2l: jnp.ndarray      # (C, 3, 3) world->local rotation
+    mat_id: jnp.ndarray   # (C,) int32
+
+    @property
+    def count(self) -> int:
+        return self.pos.shape[0]
+
+
+@struct.dataclass
 class Lights:
     """Spherical area lights (light.h:10-58).
 
@@ -153,6 +173,7 @@ class Scene:
     """The complete device-side scene."""
     tris: Triangles
     spheres: Spheres
+    cones: Cones | None
     lights: Lights
     materials: Materials
     textures: Textures
@@ -170,6 +191,10 @@ class Scene:
     @property
     def n_spheres(self) -> int:
         return self.spheres.count
+
+    @property
+    def n_cones(self) -> int:
+        return 0 if self.cones is None else self.cones.count
 
     @property
     def has_fog(self) -> bool:
