@@ -348,27 +348,77 @@ def use_pallas(scene: Scene, backend: str = "auto") -> bool:
             and 0 < scene.n_tris <= VMEM_TRI_CAP)
 
 
+def _compacted(fn, ro, rd, active, *per_lane):
+    """Run a per-lane trace with alive lanes compacted to the front.
+
+    Dead lanes in the Pallas kernel are only ~free when a whole ray tile is
+    dead (the tile's reach-AABB collapses and every chunk is skipped);
+    scattered dead lanes pay full price.  A stable alive-first permutation
+    turns the masked wavefront into a dense prefix + fully-dead suffix.
+    ``per_lane``: extra (R,)-leading arrays to permute alongside the rays.
+    Returns the un-permuted result tree of fn(ro, rd, active, *per_lane).
+    """
+    # stable alive-first partition WITHOUT a sort: destination index from
+    # two cumsums + scatter (argsort on TPU costs ~10ms per 256k lanes,
+    # which ate the entire win)
+    R = ro.shape[0]
+    a = active.astype(jnp.int32)
+    n_alive = jnp.sum(a)
+    c_alive = jnp.cumsum(a) - a            # exclusive prefix over alive
+    c_dead = jnp.cumsum(1 - a) - (1 - a)
+    dest = jnp.where(active, c_alive, n_alive + c_dead)
+
+    def put(x):
+        return jnp.zeros_like(x).at[dest].set(x, unique_indices=True)
+
+    out = fn(put(ro), put(rd), put(active), *[put(x) for x in per_lane])
+    return jax.tree_util.tree_map(lambda x: x[dest], out)
+
+
 def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
-                  active=None, backend: str = "auto") -> Hit:
+                  active=None, backend: str = "auto",
+                  compact: bool = True) -> Hit:
     """Backend-dispatched, differentiable closest-hit (tris + spheres)."""
     if use_pallas(scene, backend):
         from .pallas_intersect import pallas_closest_hit
-        hit = pallas_closest_hit(scene, ro, rd, t_max=t_max, salt=salt,
-                                 eps=eps, active=active, differentiable=True)
-        hit = _sphere_pass(scene, ro, rd, hit, salt, active, t_max)
-        return _cone_pass(scene, ro, rd, hit, salt, active, t_max)
+
+        def run(ro_, rd_, act_, *tm):
+            tm_ = tm[0] if tm else None
+            hit = pallas_closest_hit(scene, ro_, rd_, t_max=tm_, salt=salt,
+                                     eps=eps, active=act_,
+                                     differentiable=True)
+            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tm_)
+            return _cone_pass(scene, ro_, rd_, hit, salt, act_, tm_)
+
+        if compact and active is not None:
+            extra = () if t_max is None else (
+                jnp.broadcast_to(t_max, ro.shape[:1]).astype(ro.dtype),)
+            return _compacted(run, ro, rd, active, *extra)
+        act = (active if active is not None
+               else jnp.ones(ro.shape[:1], bool))
+        return run(ro, rd, act, *(() if t_max is None else (t_max,)))
     return closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
                        active=active)
 
 
 def trace_any(scene: Scene, ro, rd, t_limit, salt=0, eps=1e-5,
-              active=None, backend: str = "auto") -> jnp.ndarray:
+              active=None, backend: str = "auto",
+              compact: bool = True) -> jnp.ndarray:
     """Backend-dispatched occlusion query."""
     if use_pallas(scene, backend):
         from .pallas_intersect import pallas_closest_hit
-        hit = pallas_closest_hit(scene, ro, rd, t_max=t_limit, salt=salt,
-                                 eps=eps, active=active, any_hit=True)
-        hit = _sphere_pass(scene, ro, rd, hit, salt, active, t_limit)
-        hit = _cone_pass(scene, ro, rd, hit, salt, active, t_limit)
-        return hit.prim >= 0
+
+        def run(ro_, rd_, act_, tl_):
+            hit = pallas_closest_hit(scene, ro_, rd_, t_max=tl_, salt=salt,
+                                     eps=eps, active=act_, any_hit=True)
+            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tl_)
+            hit = _cone_pass(scene, ro_, rd_, hit, salt, act_, tl_)
+            return hit.prim >= 0
+
+        tl = jnp.broadcast_to(t_limit, ro.shape[:1]).astype(ro.dtype)
+        if compact and active is not None:
+            return _compacted(run, ro, rd, active, tl)
+        act = (active if active is not None
+               else jnp.ones(ro.shape[:1], bool))
+        return run(ro, rd, act, tl)
     return any_hit(scene, ro, rd, t_limit, salt=salt, eps=eps, active=active)

@@ -4,19 +4,36 @@ Why not a BVH walk on TPU?  Per-lane pointer chasing compiles to huge gather
 chains (measured ~23µs/ray on v5e — HBM gathers dominate).  The TPU-native
 shape of this problem is *dense tiles*: triangles are spatially sorted (BVH
 leaf order) and split into chunks of 128; rays are processed in tiles of
-256.  Each (ray-tile x chunk) step is pure VPU math on (256, 128) registers
-— Möller–Trumbore on 32k pairs per step, no gathers anywhere.  A scalar
-conservative cull (chunk AABB vs the ray-tile's reachable AABB) skips whole
-chunks per tile, recovering BVH-style pruning for coherent tiles while
-degrading gracefully to brute force for incoherent ones.
+256.  Each (ray-tile x chunk) step is pure VPU math on (256, 128) registers.
+A scalar conservative cull (chunk AABB vs the ray-tile's reachable AABB)
+skips whole chunks per tile, recovering BVH-style pruning for coherent
+tiles while degrading gracefully to brute force for incoherent ones.
 
-The whole triangle soup lives in VMEM ((10, T) layout, ~40KB per 1k tris),
-good to ~200k triangles — beyond that the caller falls back to the jnp
-traversal (ops.intersect).
+The Möller–Trumbore test (reference include/entities.h:443-490) is evaluated
+in its *separable triple-product form* so the per-(ray, tri) work is only
+dot products against precomputed per-triangle features — no cross products,
+no divides in the hot loop:
+
+    det   = -(rd · n2)                  n2  = e1 x e2
+    u_num =  (ro x rd) · e2 + rd · f_u  f_u = v0 x e2
+    v_num = -(ro x rd) · e1 - rd · f_v  f_v = v0 x e1
+    t_num =  ro · n2 - d0               d0  = v0 · n2
+
+with all comparisons done homogeneously (multiplied through by sign(det))
+and only an *approximate* reciprocal for the best-t ordering.  The kernel
+returns the winning primitive id per ray; exact (t, u, v) are recomputed
+OUTSIDE the kernel for the winner only — one MT evaluation per ray — which
+is also what makes the op differentiable for free (the selection is an int;
+the values are ordinary jnp math on scene.tris and the rays).
+
+The feature SoA lives in VMEM ((17, T) layout, ~68 B/tri), good to ~150k
+triangles — beyond that the caller falls back to the jnp traversal
+(ops.intersect).
 
 Stochastic alpha acceptance (reference include/raytracer.h:455,297) is done
 in-kernel with a counter-based hash of (ray id, prim id, salt) — identical
-semantics to the jnp path, different stream.
+semantics to the jnp path, different stream.  Scenes where every material
+is opaque-or-refractive skip the hash entirely (static specialization).
 """
 
 from __future__ import annotations
@@ -31,9 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 256     # rays per grid step (sublane axis)
 TRI_CHUNK = 128    # triangles per inner step (lane axis)
-VMEM_TRI_CAP = 200_000  # beyond this the caller should use the jnp path
+VMEM_TRI_CAP = 150_000  # beyond this the caller should use the jnp path
 
 _BIG = 3.0e38
+_IMAX = 2147483647
 
 
 def _mix32(h):
@@ -47,14 +65,14 @@ def _mix32(h):
 
 
 def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
-            tri_ref, cbox_ref, out_ref, prim_ref,
-            *, n_chunks: int, any_hit: bool, eps: float):
+            feat_ref, cbox_ref, out_t_ref, prim_ref,
+            *, n_chunks: int, any_hit: bool, eps: float, all_opaque: bool):
     """Grid: (n_ray_tiles,).  Refs:
     salt_ref (1,1) i32 SMEM; diag_ref (1,1) f32 SMEM (scene diameter bound)
     ro/rd (RT,3) VMEM; tlim (RT,1); act (RT,1) f32 (1=active)
-    tri_ref (10, T_pad): rows v0xyz e1xyz e2xyz accept
-    cbox_ref (8, n_chunks_pad): rows minx..maxz (2 pad)
-    out_ref (RT, 4): t, u, v, unused   prim_ref (RT, 1) i32
+    feat_ref (17, T_pad): rows n2(3) e1(3) e2(3) f_u(3) f_v(3) d0 accept
+    cbox_ref (8, n_chunks_pad) SMEM: rows minx..maxz (2 pad)
+    out_t_ref (RT, 1) f32 approx hit t; prim_ref (RT, 1) i32
     """
     tile = pl.program_id(0)
     RT = RAY_TILE
@@ -68,6 +86,12 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
     dz = rd_ref[:, 2:3]
     act = act_ref[:, 0:1] > 0.5
     t_lim = tlim_ref[:, 0:1]
+    t_eff = jnp.where(act, t_lim, -jnp.float32(_BIG))  # folds the act mask
+
+    # ro x rd, shared by u_num / v_num across every chunk
+    cxx = oy * dz - oz * dy
+    cxy = oz * dx - ox * dz
+    cxz = ox * dy - oy * dx
 
     # conservative reach of this ray tile: AABB(origins) swept by t*dir,
     # t <= min(diag, per-tile max t-limit); inactive rays excluded.
@@ -93,9 +117,14 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
     ray_gid = (jnp.uint32(tile * RT)
                + jax.lax.broadcasted_iota(jnp.uint32, (RT, CK), 0))
     salt = salt_ref[0, 0].astype(jnp.uint32)
+    eps_h = jnp.float32(eps)
 
     def chunk_body(c, carry):
-        best_t, best_u, best_v, best_p = carry
+        # carry: per-LANE best (RT, CK) — lane k tracks the best hit among
+        # triangles with in-chunk index k; ONE cross-lane reduction happens
+        # after the loop instead of two per chunk (cross-lane min/argmin on
+        # (256,128) costs ~14 shuffle ops; this costs 3 elementwise ops).
+        best_t, best_c = carry
         # ---- scalar conservative cull ----
         cxlo = cbox_ref[0, c]
         cylo = cbox_ref[1, c]
@@ -108,98 +137,96 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
                    & (czlo <= rzhi) & (czhi >= rzlo))
         if any_hit:
             # stop testing once every active lane is resolved
-            unresolved = jnp.any(act & (best_p < 0))
+            unresolved = jnp.any(act & jnp.all(best_c < 0, axis=1,
+                                               keepdims=True))
             overlap = overlap & unresolved
 
         def tested(carry):
-            best_t, best_u, best_v, best_p = carry
+            best_t, best_c = carry
             sl = pl.ds(c * CK, CK)
-            v0x = tri_ref[0, sl].reshape(1, CK)
-            v0y = tri_ref[1, sl].reshape(1, CK)
-            v0z = tri_ref[2, sl].reshape(1, CK)
-            e1x = tri_ref[3, sl].reshape(1, CK)
-            e1y = tri_ref[4, sl].reshape(1, CK)
-            e1z = tri_ref[5, sl].reshape(1, CK)
-            e2x = tri_ref[6, sl].reshape(1, CK)
-            e2y = tri_ref[7, sl].reshape(1, CK)
-            e2z = tri_ref[8, sl].reshape(1, CK)
-            accept = tri_ref[9, sl].reshape(1, CK)
+            n2x = feat_ref[0, sl].reshape(1, CK)
+            n2y = feat_ref[1, sl].reshape(1, CK)
+            n2z = feat_ref[2, sl].reshape(1, CK)
+            e1x = feat_ref[3, sl].reshape(1, CK)
+            e1y = feat_ref[4, sl].reshape(1, CK)
+            e1z = feat_ref[5, sl].reshape(1, CK)
+            e2x = feat_ref[6, sl].reshape(1, CK)
+            e2y = feat_ref[7, sl].reshape(1, CK)
+            e2z = feat_ref[8, sl].reshape(1, CK)
+            fux = feat_ref[9, sl].reshape(1, CK)
+            fuy = feat_ref[10, sl].reshape(1, CK)
+            fuz = feat_ref[11, sl].reshape(1, CK)
+            fvx = feat_ref[12, sl].reshape(1, CK)
+            fvy = feat_ref[13, sl].reshape(1, CK)
+            fvz = feat_ref[14, sl].reshape(1, CK)
+            d0 = feat_ref[15, sl].reshape(1, CK)
 
-            # Möller–Trumbore, (RT, CK) lanes (entities.h:443-474)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            ok = jnp.abs(det) >= eps
-            inv = 1.0 / jnp.where(ok, det, 1.0)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            u = (tvx * px + tvy * py + tvz * pz) * inv
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv
-            ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
-            ok &= (t > 0.0) & (t < best_t) & (t < t_lim) & act
+            m = dx * n2x + dy * n2y + dz * n2z          # rd·n2 = -det
+            sm = jnp.where(m >= 0.0, 1.0, -1.0)
+            ds = m * sm                                  # |det|
+            ns = -sm                                     # sign(det)
+            u_num = ((cxx * e2x + cxy * e2y + cxz * e2z)
+                     + (dx * fux + dy * fuy + dz * fuz))
+            v_sum = ((cxx * e1x + cxy * e1y + cxz * e1z)
+                     + (dx * fvx + dy * fvy + dz * fvz))  # = -v_num
+            t_num = (ox * n2x + oy * n2y + oz * n2z) - d0
+            us = u_num * ns
+            vs = v_sum * sm
+            ts = t_num * ns
+            ok = ((ds >= eps_h) & (us >= 0.0) & (vs >= 0.0)
+                  & (us + vs <= ds) & (ts > 0.0))
+            tc = ts * pl.reciprocal(jnp.maximum(ds, 1e-30), approx=True)
+            ok &= (tc < t_eff) & (tc < best_t)  # t_eff = -inf on dead lanes
 
-            # stochastic alpha (raytracer.h:455): hash(ray, prim, salt)
-            prim_gid = (jnp.uint32(c * CK)
-                        + jax.lax.broadcasted_iota(jnp.uint32, (RT, CK), 1))
-            h = _mix32(ray_gid * jnp.uint32(0x9E3779B9)
-                       ^ _mix32(prim_gid + jnp.uint32(0x7F4A7C15) ^ salt))
-            # Mosaic lacks uint32->f32; use the top 24 bits via int32
-            uni = ((h >> 8).astype(jnp.int32).astype(jnp.float32)
-                   * jnp.float32(5.960464477539063e-08))
-            ok &= (uni < accept) | (accept >= 1.0)
+            if not all_opaque:
+                # stochastic alpha (raytracer.h:455): hash(ray, prim, salt)
+                accept = feat_ref[16, sl].reshape(1, CK)
+                prim_g = (jnp.uint32(c * CK)
+                          + jax.lax.broadcasted_iota(jnp.uint32, (RT, CK), 1))
+                h = _mix32(ray_gid * jnp.uint32(0x9E3779B9)
+                           ^ _mix32(prim_g + jnp.uint32(0x7F4A7C15) ^ salt))
+                # Mosaic lacks uint32->f32; use the top 24 bits via int32
+                uni = ((h >> 8).astype(jnp.int32).astype(jnp.float32)
+                       * jnp.float32(5.960464477539063e-08))
+                ok &= (uni < accept) | (accept >= 1.0)
 
-            tt = jnp.where(ok, t, big)
-            tmin = jnp.min(tt, axis=1, keepdims=True)            # (RT,1)
-            improved = tmin < best_t
-            # index of the winning lane
-            is_min = (tt <= tmin) & ok
-            pid = jnp.where(is_min, prim_gid.astype(jnp.int32),
-                            jnp.int32(2147483647))
-            pmin = jnp.min(pid, axis=1, keepdims=True)
-            rows = is_min & (pid == pmin)
-            usel = jnp.max(jnp.where(rows, u, -big), axis=1, keepdims=True)
-            vsel = jnp.max(jnp.where(rows, v, -big), axis=1, keepdims=True)
-            return (jnp.where(improved, tmin, best_t),
-                    jnp.where(improved, usel, best_u),
-                    jnp.where(improved, vsel, best_v),
-                    jnp.where(improved, pmin, best_p))
+            tt = jnp.where(ok, tc, big)
+            better = tt < best_t
+            return (jnp.where(better, tt, best_t),
+                    jnp.where(better, jnp.int32(c), best_c))
 
         return jax.lax.cond(overlap, tested, lambda cr: cr,
-                            (best_t, best_u, best_v, best_p))
+                            (best_t, best_c))
 
-    init = (jnp.full((RT, 1), big, jnp.float32),
-            jnp.zeros((RT, 1), jnp.float32),
-            jnp.zeros((RT, 1), jnp.float32),
-            jnp.full((RT, 1), -1, jnp.int32))
-    best_t, best_u, best_v, best_p = jax.lax.fori_loop(
-        0, n_chunks, chunk_body, init)
+    init = (jnp.full((RT, CK), big, jnp.float32),
+            jnp.full((RT, CK), -1, jnp.int32))
+    best_t, best_c = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
-    miss = best_p < 0
-    out_ref[:, 0:1] = jnp.where(miss, big, best_t)
-    out_ref[:, 1:2] = best_u
-    out_ref[:, 2:3] = best_v
-    out_ref[:, 3:4] = jnp.zeros((RT, 1), jnp.float32)
-    prim_ref[:, 0:1] = best_p
+    # single cross-lane reduction: global best t + owning lane -> prim id
+    tmin = jnp.min(best_t, axis=1, keepdims=True)                # (RT,1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (RT, CK), 1)
+    pid = jnp.where((best_t <= tmin) & (best_c >= 0),
+                    best_c * jnp.int32(CK) + lane, jnp.int32(_IMAX))
+    pmin = jnp.min(pid, axis=1, keepdims=True)
+    out_t_ref[:, 0:1] = tmin
+    prim_ref[:, 0:1] = jnp.where(pmin == jnp.int32(_IMAX),
+                                 jnp.int32(-1), pmin)
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "eps", "interpret"))
-def _dense_trace(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
-                 any_hit=False, eps=1e-5, interpret=False):
-    """tri_soa (10, T_pad), cbox (8, n_chunks_pad), rays (R,3) padded to
-    RAY_TILE multiple.  Returns (t (R,), u, v, prim)."""
+@functools.partial(jax.jit, static_argnames=("any_hit", "eps", "all_opaque",
+                                              "interpret"))
+def _dense_trace(feat, cbox, ro, rd, t_lim, active, salt, diag,
+                 any_hit=False, eps=1e-5, all_opaque=False, interpret=False):
+    """feat (17, T_pad), cbox (8, n_chunks_pad), rays (R,3) padded to
+    RAY_TILE multiple.  Returns (t_approx (R,), prim (R,))."""
     R = ro.shape[0]
     n_tiles = R // RAY_TILE
-    n_chunks = tri_soa.shape[1] // TRI_CHUNK
+    n_chunks = feat.shape[1] // TRI_CHUNK
 
     kernel = functools.partial(_kernel, n_chunks=n_chunks,
-                               any_hit=any_hit, eps=eps)
-    out, prim = pl.pallas_call(
+                               any_hit=any_hit, eps=eps,
+                               all_opaque=all_opaque)
+    out_t, prim = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -213,7 +240,7 @@ def _dense_trace(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(tri_soa.shape, lambda i: (0, 0),
+            pl.BlockSpec(feat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             # chunk bboxes are read as scalars with a dynamic chunk index —
             # that requires SMEM (VMEM vector loads need static lane offsets)
@@ -221,23 +248,25 @@ def _dense_trace(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_TILE, 4), lambda i: (i, 0),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((R, 4), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(salt, diag, ro, rd, t_lim, active, tri_soa, cbox)
-    return out[:, 0], out[:, 1], out[:, 2], prim[:, 0]
+    )(salt, diag, ro, rd, t_lim, active, feat, cbox)
+    return out_t[:, 0], prim[:, 0]
 
 
-def build_tri_soa(scene):
-    """(10, T_pad) triangle SoA + (8, n_chunks_pad) chunk bboxes from the
-    (BVH-leaf-ordered) scene triangle arrays.  jnp; cheap; jit-safe."""
+def build_tri_features(scene):
+    """(17, T_pad) separable-MT feature SoA + (8, n_chunks_pad) chunk bboxes
+    from the (BVH-leaf-ordered) scene triangle arrays.  jnp; cheap;
+    jit-safe; differentiable into scene.tris (only used for the winner's
+    exact recompute — the kernel consumes it as data)."""
     tr = scene.tris
     T = tr.v0.shape[0]
     pad = (-T) % TRI_CHUNK
@@ -246,14 +275,22 @@ def build_tri_soa(scene):
     accept = jnp.where(scene.materials.ior[tr.mat_id] != 1.0, 1.0,
                        scene.materials.opacity[tr.mat_id])
 
+    v0, e1, e2 = tr.v0, tr.e1, tr.e2
+    n2 = jnp.cross(e1, e2)
+    f_u = jnp.cross(v0, e2)
+    f_v = jnp.cross(v0, e1)
+    d0 = jnp.sum(v0 * n2, -1)
+
     def row(x):
         return jnp.pad(x.astype(f32), (0, pad))
 
-    v0, e1, e2 = tr.v0, tr.e1, tr.e2
-    soa = jnp.stack([
-        row(v0[:, 0]), row(v0[:, 1]), row(v0[:, 2]),
+    feat = jnp.stack([
+        row(n2[:, 0]), row(n2[:, 1]), row(n2[:, 2]),
         row(e1[:, 0]), row(e1[:, 1]), row(e1[:, 2]),
         row(e2[:, 0]), row(e2[:, 1]), row(e2[:, 2]),
+        row(f_u[:, 0]), row(f_u[:, 1]), row(f_u[:, 2]),
+        row(f_v[:, 0]), row(f_v[:, 1]), row(f_v[:, 2]),
+        row(d0),
         jnp.pad(accept.astype(f32), (0, pad), constant_values=-1.0),
     ])
 
@@ -264,27 +301,41 @@ def build_tri_soa(scene):
     v2 = v0 + e2
     big = jnp.float32(_BIG)
 
-    def minmax(c):
-        # c: (T,) padded with +/- big
-        lo = jnp.pad(c.astype(f32), (0, pad), constant_values=big)
-        hi = jnp.pad(c.astype(f32), (0, pad), constant_values=-big)
-        lo = jnp.min(lo.reshape(nC, TRI_CHUNK), axis=1)
-        hi = jnp.max(hi.reshape(nC, TRI_CHUNK), axis=1)
-        return lo, hi
+    def minmax(c, lo_pad, hi_pad):
+        lo = jnp.pad(c.astype(f32), (0, pad), constant_values=lo_pad)
+        hi = jnp.pad(c.astype(f32), (0, pad), constant_values=hi_pad)
+        return (jnp.min(lo.reshape(nC, TRI_CHUNK), axis=1),
+                jnp.max(hi.reshape(nC, TRI_CHUNK), axis=1))
 
     rows = []
     for axis in range(3):
-        comp = jnp.stack([v0[:, axis], v1[:, axis], v2[:, axis]])
-        lo, _ = minmax(jnp.min(comp, 0))
+        comp = jnp.min(jnp.stack([v0[:, axis], v1[:, axis], v2[:, axis]]), 0)
+        lo, _ = minmax(comp, big, -big)
         rows.append(lo)
     for axis in range(3):
-        comp = jnp.stack([v0[:, axis], v1[:, axis], v2[:, axis]])
-        _, hi = minmax(jnp.max(comp, 0))
+        comp = jnp.max(jnp.stack([v0[:, axis], v1[:, axis], v2[:, axis]]), 0)
+        _, hi = minmax(comp, big, -big)
         rows.append(hi)
     rows.append(jnp.zeros(nC, f32))
     rows.append(jnp.zeros(nC, f32))
     cbox = jnp.stack(rows)  # (8, nC)
-    return soa, cbox
+    return feat, cbox
+
+
+def _exact_hit(scene, ro, rd, prim, eps):
+    """Recompute exact (t, u, v) for the kernel-selected triangle — one MT
+    evaluation per ray, ordinary differentiable jnp (selection detached)."""
+    from .intersect import ray_triangle
+
+    tr = scene.tris
+    ok = prim >= 0
+    p = jnp.clip(prim, 0, max(tr.v0.shape[0] - 1, 0))
+    t, u, v, valid = ray_triangle(ro, rd, tr.v0[p], tr.e1[p], tr.e2[p], eps)
+    m = ok & valid
+    # fall back to never-hit for the (rare) lanes where the approximate
+    # kernel accept disagrees with the exact test
+    return (jnp.where(m, t, jnp.inf), jnp.where(m, u, 0.0),
+            jnp.where(m, v, 0.0), jnp.where(m, prim, -1))
 
 
 def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
@@ -292,11 +343,12 @@ def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
                        differentiable=True):
     """Drop-in closest-hit/any-hit over the Pallas dense kernel.
     Returns the same Hit tuple as ops.intersect.closest_hit (triangles
-    only — the caller layers the dense sphere pass on top).  With
-    ``differentiable``, hit.t/u/v carry gradients to scene.tris and rays
-    via the custom VJP (selection detached)."""
+    only — the caller layers the dense sphere/cone passes on top).
+    hit.t/u/v carry gradients to scene.tris and rays because the exact
+    values are recomputed outside the kernel from the winning prim."""
     from .intersect import Hit
 
+    del differentiable  # always differentiable now (exact recompute path)
     R = ro.shape[0]
     dt = jnp.float32
     pad = (-R) % RAY_TILE
@@ -312,82 +364,25 @@ def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
     else:
         ac = jnp.pad(active.astype(dt)[:, None], ((0, pad), (0, 0)))
 
-    soa, cbox = build_tri_soa(scene)
-    diag = jnp.linalg.norm(
-        (scene.world_max - scene.world_min).astype(dt)) * 1.001
+    feat, cbox = build_tri_features(scene)
+    feat = jax.lax.stop_gradient(feat)
+    cbox = jax.lax.stop_gradient(cbox)
+    diag = jnp.linalg.norm(jax.lax.stop_gradient(
+        (scene.world_max - scene.world_min).astype(dt))) * 1.001
     salt_arr = jnp.asarray(salt, jnp.int32).reshape(1, 1)
     diag_arr = diag.reshape(1, 1)
 
-    if differentiable:
-        t, u, v, prim = _dense_trace_diff(soa, cbox, rop, rdp, tl, ac,
-                                          salt_arr, diag_arr,
-                                          any_hit, eps, interpret)
-    else:
-        t, u, v, prim = _dense_trace(soa, cbox, rop, rdp, tl, ac,
-                                     salt_arr, diag_arr,
-                                     any_hit=any_hit, eps=eps,
-                                     interpret=interpret)
-    t = t[:R].astype(ro.dtype)
-    t = jnp.where(prim[:R] >= 0, t, jnp.inf)
-    return Hit(t, prim[:R],
-               u[:R].astype(ro.dtype), v[:R].astype(ro.dtype))
-
-
-# --------------------------------------------------------------------------
-# differentiable wrapper: forward = Pallas kernel; backward = analytic MT
-# derivative at the discovered primitive (selection detached), so pixel
-# gradients flow into vertex positions and ray origins/directions.  Applied
-# at the _dense_trace level (pure array inputs); the soa cotangent continues
-# back through build_tri_soa into scene.tris by ordinary autodiff.
-# --------------------------------------------------------------------------
-
-def _hit_formula(soa, ro, rd, prim, eps):
-    """(t, u, v) recomputed symbolically for the selected primitive."""
-    from .intersect import ray_triangle
-
-    v0 = soa[0:3].T
-    e1 = soa[3:6].T
-    e2 = soa[6:9].T
-    ok = prim >= 0
-    p = jnp.clip(prim, 0, v0.shape[0] - 1)
-    t, u, v, valid = ray_triangle(ro, rd, v0[p], e1[p], e2[p], eps)
-    m = ok & valid
-    return (jnp.where(m, t, 0.0), jnp.where(m, u, 0.0), jnp.where(m, v, 0.0))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _dense_trace_diff(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
-                      any_hit, eps, interpret):
-    return _dense_trace(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
-                        any_hit=any_hit, eps=eps, interpret=interpret)
-
-
-def _dtd_fwd(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
-             any_hit, eps, interpret):
-    out = _dense_trace(tri_soa, cbox, ro, rd, t_lim, active, salt, diag,
-                       any_hit=any_hit, eps=eps, interpret=interpret)
-    t, u, v, prim = out
-    return out, (tri_soa, cbox, ro, rd, t_lim, active, salt, diag, prim)
-
-
-def _float0(x):
-    import numpy as _np
-    return _np.zeros(x.shape, jax.dtypes.float0)
-
-
-def _dtd_bwd(any_hit, eps, interpret, res, g):
-    tri_soa, cbox, ro, rd, t_lim, active, salt, diag, prim = res
-    gt, gu, gv, _gp = g
-    gt = jnp.where(jnp.isfinite(gt), gt, 0.0)
-
-    def f(soa, ro_, rd_):
-        return _hit_formula(soa, ro_, rd_, prim, eps)
-
-    _, vjp = jax.vjp(f, tri_soa, ro, rd)
-    dsoa, dro, drd = vjp((gt, gu, gv))
-    return (dsoa, jnp.zeros_like(cbox), dro, drd,
-            jnp.zeros_like(t_lim), jnp.zeros_like(active),
-            _float0(salt), jnp.zeros_like(diag))
-
-
-_dense_trace_diff.defvjp(_dtd_fwd, _dtd_bwd)
+    tk, prim = _dense_trace(feat, cbox, rop, rdp, tl, ac,
+                            salt_arr, diag_arr,
+                            any_hit=any_hit, eps=eps,
+                            all_opaque=scene.all_opaque,
+                            interpret=interpret)
+    prim = jax.lax.stop_gradient(prim[:R])
+    if any_hit:
+        # occlusion only needs the accept decision; skip the exact pass
+        t = jnp.where(prim >= 0, tk[:R].astype(ro.dtype), jnp.inf)
+        z = jnp.zeros((R,), ro.dtype)
+        return Hit(jax.lax.stop_gradient(t), prim, z, z)
+    t, u, v, prim = _exact_hit(scene, ro, rd, prim, eps)
+    return Hit(t.astype(ro.dtype), prim,
+               u.astype(ro.dtype), v.astype(ro.dtype))

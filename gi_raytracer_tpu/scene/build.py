@@ -271,7 +271,9 @@ class SceneBuilder:
                         scatter=jnp.asarray(scat, f),
                         grid=jnp.asarray(grid, f))
 
-        return T.Scene(tris=tris, spheres=spheres, cones=cones, lights=lights,
+        all_opaque = bool(np.all((mats[:, 3] >= 1.0) | (mats[:, 4] != 1.0)))
+        return T.Scene(all_opaque=all_opaque,
+                       tris=tris, spheres=spheres, cones=cones, lights=lights,
                        materials=materials, textures=textures, bvh=bvh,
                        fog=fog,
                        world_min=jnp.asarray(wmin, f),

@@ -181,6 +181,10 @@ class Scene:
     fog: Fog | None = None
     world_min: jnp.ndarray = None   # (3,) root bounds
     world_max: jnp.ndarray = None
+    # static: no material needs the stochastic-alpha lottery (opacity < 1
+    # only matters when ior == 1, raytracer.h:455,297) — lets the Pallas
+    # kernel skip the per-candidate hash entirely
+    all_opaque: bool = struct.field(pytree_node=False, default=False)
 
     # camera & per-scene render settings are carried by the loader, not here
 
