@@ -55,12 +55,34 @@ def _photon_map(ls, cfg):
 def cmd_render(args):
     from .render.integrator import Renderer
     from .io import save_png
+    from .io.checkpoint import save_checkpoint, load_checkpoint
 
     ls, cfg, cam = _build(args)
     pm = _photon_map(ls, cfg) if not args.no_photons else None
     r = Renderer(ls.scene, cam, cfg, args.width, args.height, photon_map=pm)
+
+    state = None
+    if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
+        import jax.numpy as jnp
+        raw = load_checkpoint(args.checkpoint)
+        state = {k: jnp.asarray(v) for k, v in raw.items()}
+        print(f"[resume] wave {int(state['wave'])} from {args.checkpoint}")
+
+    def on_wave(st, s):
+        # incremental display + crash-safe accumulation (the reference's
+        # progressive repaint, viewer.h:16-61, plus the checkpoint/resume
+        # the reference lacks)
+        if args.preview:
+            save_png(args.preview, np.asarray(r.tonemap(st["mean"])))
+        if args.checkpoint:
+            save_checkpoint(args.checkpoint,
+                            **{k: np.asarray(v) for k, v in st.items()})
+        if args.verbose:
+            print(f"[wave {s}] active {int(np.asarray(st['active']).sum())}")
+
+    hook = on_wave if (args.preview or args.checkpoint) else None
     t0 = time.time()
-    img = r.render(verbose=args.verbose)
+    img = r.render(verbose=args.verbose, on_wave=hook, state=state)
     out = np.asarray(r.tonemap(img))
     dt = time.time() - t0
     rays = args.width * args.height * cfg.max_samples
@@ -72,6 +94,63 @@ def cmd_render(args):
 def cmd_photons(args):
     ls, cfg, cam = _build(args)
     _photon_map(ls, cfg)
+
+
+def cmd_grad_check(args):
+    """Validate renderer gradients against central finite differences.
+
+    Differentiates the mean image intensity wrt the light color (the same
+    inverse-rendering path train_step_sharded uses) at a small resolution,
+    and prints a JSON line with analytic-vs-FD agreement.
+    """
+    import jax
+    import jax.numpy as jnp
+    from .render.integrator import Renderer
+
+    ls, cfg, cam = _build(args)
+    cfg = cfg.replace(adaptive=False, min_samples=2, max_samples=2,
+                      max_depth=min(cfg.max_depth, 4))
+    W = H = max(16, min(args.width, 64))
+    r = Renderer(ls.scene, cam, cfg, W, H)
+    scene = ls.scene
+    idx = r.enum.index_image(0).ravel()
+
+    has_lights = scene.lights.count > 0
+    if has_lights:
+        param0 = scene.lights.col
+        name = "light_col"
+
+        def with_param(p):
+            return scene.replace(lights=scene.lights.replace(col=p))
+    else:  # ambient-only scenes (e.g. examples/test_scene): texture colors
+        param0 = scene.textures.color
+        name = "texture_col"
+
+        def with_param(p):
+            return scene.replace(textures=scene.textures.replace(color=p))
+
+    def loss(p):
+        img = r._wave(with_param(p), None, idx, jnp.uint32(0))
+        return jnp.mean(img)
+
+    g = np.asarray(jax.grad(loss)(param0))
+    eps = 1e-2
+    fd = np.zeros_like(np.asarray(param0))
+    # FD only over components with nonzero analytic gradient or value
+    # (checking all K x 3 would be slow for big texture tables)
+    flat = [(i, c) for i in range(min(param0.shape[0], 4)) for c in range(3)]
+    for i, c in flat:
+        e = jnp.zeros_like(param0).at[i, c].set(eps)
+        fd[i, c] = float((loss(param0 + e) - loss(param0 - e)) / (2 * eps))
+    sel = np.zeros(fd.shape, bool)
+    for i, c in flat:
+        sel[i, c] = True
+    denom = np.maximum(np.abs(fd[sel]), 1e-6)
+    rel = float(np.max(np.abs(g[sel] - fd[sel]) / denom))
+    print(json.dumps({"metric": f"grad_rel_err_{name}", "value": rel,
+                      "analytic": g[sel].ravel().tolist(),
+                      "fd": fd[sel].ravel().tolist(),
+                      "pass": bool(rel < 1e-2)}))
 
 
 def cmd_bench(args):
@@ -113,7 +192,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="gi_raytracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in (("render", cmd_render), ("photons", cmd_photons),
-                     ("bench", cmd_bench)):
+                     ("bench", cmd_bench), ("grad-check", cmd_grad_check)):
         sp = sub.add_parser(name)
         sp.add_argument("scene")
         sp.add_argument("-o", "--output", default="render.png")
@@ -124,6 +203,12 @@ def main(argv=None):
         sp.add_argument("--max-depth", type=int, default=0)
         sp.add_argument("--photons", type=int, default=None)
         sp.add_argument("--no-photons", action="store_true")
+        sp.add_argument("--preview", default=None, metavar="PNG",
+                        help="write a tonemapped preview after every wave")
+        sp.add_argument("--checkpoint", default=None, metavar="NPZ",
+                        help="save accumulation state after every wave")
+        sp.add_argument("--resume", action="store_true",
+                        help="resume from --checkpoint if it exists")
         sp.add_argument("-v", "--verbose", action="store_true")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)

@@ -377,7 +377,7 @@ def _compacted(fn, ro, rd, active, *per_lane):
 
 def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
                   active=None, backend: str = "auto",
-                  compact: bool = True) -> Hit:
+                  compact: bool = False) -> Hit:
     """Backend-dispatched, differentiable closest-hit (tris + spheres)."""
     if use_pallas(scene, backend):
         from .pallas_intersect import pallas_closest_hit
@@ -403,7 +403,7 @@ def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
 
 def trace_any(scene: Scene, ro, rd, t_limit, salt=0, eps=1e-5,
               active=None, backend: str = "auto",
-              compact: bool = True) -> jnp.ndarray:
+              compact: bool = False) -> jnp.ndarray:
     """Backend-dispatched occlusion query."""
     if use_pallas(scene, backend):
         from .pallas_intersect import pallas_closest_hit

@@ -68,7 +68,8 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
         t_lim = jnp.sqrt(max_t2) - bias
         occ = trace_any(scene, so, normalize(ldir), t_lim,
                         salt=salt + 7919 * (li + 1), active=active,
-                        backend=cfg.intersect_backend)
+                        backend=cfg.intersect_backend,
+                        compact=cfg.compact_wavefront)
         if scene.has_fog:
             occ = occ | fog_occludes(scene, cfg, so, normalize(ldir), t_lim,
                                      salt + 104729 * (li + 1))
@@ -113,7 +114,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         u_light = uni[4:]
 
         hit = trace_closest(scene, st.ro, st.rd, salt=salt, eps=cfg.epsilon,
-                            active=st.alive, backend=cfg.intersect_backend)
+                            active=st.alive, backend=cfg.intersect_backend,
+                            compact=cfg.compact_wavefront)
         attrs = hit_attributes_uv(scene, st.ro, st.rd, hit.t, hit.prim,
                                   hit.u, hit.v)
         color, em, alpha, rough, ior = material_lookup(scene, attrs.mat_id,
@@ -213,17 +215,36 @@ class Renderer:
         return radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
                              key, wave_i * 65537, photon_map)
 
-    def render(self, verbose: bool = False):
-        """Adaptive multi-wave render -> linear (H, W, 3) mean image."""
+    def state0(self):
+        """Fresh accumulation state (the reference's per-pixel running
+        mean/EMA-variance/sample counters, raytracer.h:100-148, as images)."""
+        H, W = self.height, self.width
+        dt = jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
+        return {
+            "mean": jnp.full((H, W, 3), 0.5, dt),  # raytracer.h:102 init
+            "var": jnp.zeros((H, W), dt),
+            "samps": jnp.zeros((H, W), jnp.int32),
+            "active": jnp.ones((H, W), bool),
+            "wave": jnp.zeros((), jnp.int32),
+        }
+
+    def render(self, verbose: bool = False, on_wave=None, state=None):
+        """Adaptive multi-wave render -> linear (H, W, 3) mean image.
+
+        ``on_wave(state_dict, wave_index)`` is the incremental-display /
+        checkpoint hook (the TPU-side equivalent of the reference viewer's
+        32 ms repaint + progressive fill, viewer.h:16-61): called after
+        every wave with the full accumulation state, which can be saved and
+        passed back as ``state=`` to resume an interrupted render.
+        """
         cfg = self.cfg
         H, W = self.height, self.width
-        dt = jnp.float64 if cfg.dtype == "float64" else jnp.float32
-        mean = jnp.full((H, W, 3), 0.5, dt)   # raytracer.h:102 initial color
-        var = jnp.zeros((H, W), dt)
-        samps = jnp.zeros((H, W), jnp.int32)
-        active = jnp.ones((H, W), bool)
+        st = state if state is not None else self.state0()
+        mean, var = st["mean"], st["var"]
+        samps, active = st["samps"], st["active"]
+        first = int(st["wave"])
 
-        for s in range(cfg.max_samples):
+        for s in range(first, cfg.max_samples):
             idx = self.enum.index_image(s).ravel()
             c = self._wave(self.scene, self.photon_map, idx,
                            jnp.uint32(s)).reshape(H, W, 3)
@@ -238,6 +259,10 @@ class Renderer:
             active = active & (samps < cfg.min_samples)
             if verbose:
                 print(f"wave {s}: active {int(active.sum())}/{H * W}")
+            if on_wave is not None:
+                on_wave({"mean": mean, "var": var, "samps": samps,
+                         "active": active,
+                         "wave": jnp.asarray(s + 1, jnp.int32)}, s)
             if not bool(active.any()):
                 break
         return mean

@@ -128,8 +128,11 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
                                 depth)
         uni = jax.random.uniform(kb, (4, R), dt)
 
+        # photon chains die fast (specular-only continuation): compaction
+        # always pays here
         hit = trace_closest(scene, s.ro, s.rd, salt=salt, eps=cfg.epsilon,
-                            active=s.alive, backend=cfg.intersect_backend)
+                            active=s.alive, backend=cfg.intersect_backend,
+                            compact=True)
         attrs = hit_attributes_uv(scene, s.ro, s.rd, hit.t, hit.prim,
                                   hit.u, hit.v)
         color, _, alpha, rough, ior = material_lookup(scene, attrs.mat_id,
