@@ -61,10 +61,18 @@ def cmd_render(args):
     pm = _photon_map(ls, cfg) if not args.no_photons else None
     r = Renderer(ls.scene, cam, cfg, args.width, args.height, photon_map=pm)
 
+    import hashlib
+    with open(args.scene, "rb") as f:
+        scene_hash = hashlib.sha1(f.read()).hexdigest()[:16]
+    meta = {"width": args.width, "height": args.height, "seed": cfg.seed,
+            "min_samples": cfg.min_samples, "max_samples": cfg.max_samples,
+            "max_depth": cfg.max_depth, "scene_sha1": scene_hash}
+
     state = None
     if args.resume and args.checkpoint and os.path.exists(args.checkpoint):
         import jax.numpy as jnp
-        raw = load_checkpoint(args.checkpoint)
+        raw = load_checkpoint(args.checkpoint, expect_meta=meta)
+        raw.pop("meta", None)
         state = {k: jnp.asarray(v) for k, v in raw.items()}
         print(f"[resume] wave {int(state['wave'])} from {args.checkpoint}")
 
@@ -75,7 +83,7 @@ def cmd_render(args):
         if args.preview:
             save_png(args.preview, np.asarray(r.tonemap(st["mean"])))
         if args.checkpoint:
-            save_checkpoint(args.checkpoint,
+            save_checkpoint(args.checkpoint, meta=meta,
                             **{k: np.asarray(v) for k, v in st.items()})
         if args.verbose:
             print(f"[wave {s}] active {int(np.asarray(st['active']).sum())}")
@@ -136,8 +144,8 @@ def cmd_grad_check(args):
     g = np.asarray(jax.grad(loss)(param0))
     eps = 1e-2
     fd = np.zeros_like(np.asarray(param0))
-    # FD only over components with nonzero analytic gradient or value
-    # (checking all K x 3 would be slow for big texture tables)
+    # central differences over the first min(K, 4) rows of the parameter
+    # table (checking all K x 3 would be slow for big texture tables)
     flat = [(i, c) for i in range(min(param0.shape[0], 4)) for c in range(3)]
     for i, c in flat:
         e = jnp.zeros_like(param0).at[i, c].set(eps)
@@ -145,7 +153,9 @@ def cmd_grad_check(args):
     sel = np.zeros(fd.shape, bool)
     for i, c in flat:
         sel[i, c] = True
-    denom = np.maximum(np.abs(fd[sel]), 1e-6)
+    # symmetric scale: a ~0 true derivative with ~1e-4 FD noise must not
+    # read as rel~1 against an analytic 0
+    denom = np.maximum(np.maximum(np.abs(fd[sel]), np.abs(g[sel])), 1e-3)
     rel = float(np.max(np.abs(g[sel] - fd[sel]) / denom))
     print(json.dumps({"metric": f"grad_rel_err_{name}", "value": rel,
                       "analytic": g[sel].ravel().tolist(),

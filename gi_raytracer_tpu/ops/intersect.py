@@ -381,22 +381,23 @@ def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
     """Backend-dispatched, differentiable closest-hit (tris + spheres)."""
     if use_pallas(scene, backend):
         from .pallas_intersect import pallas_closest_hit
+        R = ro.shape[0]
+        rid0 = jnp.arange(R, dtype=jnp.int32)
 
-        def run(ro_, rd_, act_, *tm):
+        def run(ro_, rd_, act_, rid_, *tm):
             tm_ = tm[0] if tm else None
             hit = pallas_closest_hit(scene, ro_, rd_, t_max=tm_, salt=salt,
-                                     eps=eps, active=act_,
+                                     eps=eps, active=act_, ray_id=rid_,
                                      differentiable=True)
             hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tm_)
             return _cone_pass(scene, ro_, rd_, hit, salt, act_, tm_)
 
         if compact and active is not None:
             extra = () if t_max is None else (
-                jnp.broadcast_to(t_max, ro.shape[:1]).astype(ro.dtype),)
-            return _compacted(run, ro, rd, active, *extra)
-        act = (active if active is not None
-               else jnp.ones(ro.shape[:1], bool))
-        return run(ro, rd, act, *(() if t_max is None else (t_max,)))
+                jnp.broadcast_to(t_max, (R,)).astype(ro.dtype),)
+            return _compacted(run, ro, rd, active, rid0, *extra)
+        act = (active if active is not None else jnp.ones((R,), bool))
+        return run(ro, rd, act, rid0, *(() if t_max is None else (t_max,)))
     return closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
                        active=active)
 
@@ -407,18 +408,20 @@ def trace_any(scene: Scene, ro, rd, t_limit, salt=0, eps=1e-5,
     """Backend-dispatched occlusion query."""
     if use_pallas(scene, backend):
         from .pallas_intersect import pallas_closest_hit
+        R = ro.shape[0]
+        rid0 = jnp.arange(R, dtype=jnp.int32)
 
-        def run(ro_, rd_, act_, tl_):
+        def run(ro_, rd_, act_, rid_, tl_):
             hit = pallas_closest_hit(scene, ro_, rd_, t_max=tl_, salt=salt,
-                                     eps=eps, active=act_, any_hit=True)
+                                     eps=eps, active=act_, ray_id=rid_,
+                                     any_hit=True)
             hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tl_)
             hit = _cone_pass(scene, ro_, rd_, hit, salt, act_, tl_)
             return hit.prim >= 0
 
-        tl = jnp.broadcast_to(t_limit, ro.shape[:1]).astype(ro.dtype)
+        tl = jnp.broadcast_to(t_limit, (R,)).astype(ro.dtype)
         if compact and active is not None:
-            return _compacted(run, ro, rd, active, tl)
-        act = (active if active is not None
-               else jnp.ones(ro.shape[:1], bool))
-        return run(ro, rd, act, tl)
+            return _compacted(run, ro, rd, active, rid0, tl)
+        act = (active if active is not None else jnp.ones((R,), bool))
+        return run(ro, rd, act, rid0, tl)
     return any_hit(scene, ro, rd, t_limit, salt=salt, eps=eps, active=active)

@@ -1,13 +1,32 @@
-"""Pallas TPU intersection kernels: dense chunked ray-triangle testing.
+"""Pallas TPU intersection kernels: ordered dense-chunk ray-triangle testing.
 
 Why not a BVH walk on TPU?  Per-lane pointer chasing compiles to huge gather
 chains (measured ~23µs/ray on v5e — HBM gathers dominate).  The TPU-native
 shape of this problem is *dense tiles*: triangles are spatially sorted (BVH
 leaf order) and split into chunks of 128; rays are processed in tiles of
 256.  Each (ray-tile x chunk) step is pure VPU math on (256, 128) registers.
-A scalar conservative cull (chunk AABB vs the ray-tile's reachable AABB)
-skips whole chunks per tile, recovering BVH-style pruning for coherent
-tiles while degrading gracefully to brute force for incoherent ones.
+
+The brute-force version of that design is VPU-roofline-bound (~42 ops per
+ray-triangle test; measured ~95% of v5e VPU throughput), so all further
+speed comes from *not testing chunks*.  Three collective culls recover
+BVH-style pruning without any per-ray control flow:
+
+1. **near-to-far chunk ordering**: per ray tile, chunks are visited in
+   order of distance from the tile's (active-ray) origin centroid — a tiny
+   (n_tiles, n_chunks) argsort OUTSIDE the kernel.  Nearby geometry is
+   tested first, so hits arrive early;
+2. **collective t-shrink**: after each tested chunk the tile's traversal
+   cap becomes  t_cap = max over active rays of min(best_t, t_lim)  — once
+   every ray has a hit, the cap collapses to the farthest hit so far;
+3. **distance lower-bound cull**: a chunk whose AABB is farther than t_cap
+   from the tile's origin AABB (per-axis gap distance) can't improve any
+   ray and is skipped; a swept-reach AABB overlap test (origins + t_cap *
+   direction extents) handles the directed case.
+
+Together these give the reference's front-to-back octree early-out
+(reference include/raytracer.h:446-472, octree.cpp:285-313) its collective
+TPU equivalent: closed scenes test O(hit distance) chunks per tile instead
+of all of them.
 
 The Möller–Trumbore test (reference include/entities.h:443-490) is evaluated
 in its *separable triple-product form* so the per-(ray, tri) work is only
@@ -32,8 +51,10 @@ triangles — beyond that the caller falls back to the jnp traversal
 
 Stochastic alpha acceptance (reference include/raytracer.h:455,297) is done
 in-kernel with a counter-based hash of (ray id, prim id, salt) — identical
-semantics to the jnp path, different stream.  Scenes where every material
-is opaque-or-refractive skip the hash entirely (static specialization).
+semantics to the jnp path, different stream.  Ray ids are the caller's lane
+ids (passed in, so wavefront compaction cannot permute the alpha stream).
+Scenes where every material is opaque-or-refractive skip the hash entirely
+(static specialization).
 """
 
 from __future__ import annotations
@@ -49,6 +70,7 @@ from jax.experimental.pallas import tpu as pltpu
 RAY_TILE = 256     # rays per grid step (sublane axis)
 TRI_CHUNK = 128    # triangles per inner step (lane axis)
 VMEM_TRI_CAP = 150_000  # beyond this the caller should use the jnp path
+ORDER_ROWS = 8     # SMEM block row granularity for the per-tile chunk order
 
 _BIG = 3.0e38
 _IMAX = 2147483647
@@ -64,17 +86,18 @@ def _mix32(h):
     return h
 
 
-def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
-            feat_ref, cbox_ref, out_t_ref, prim_ref,
+def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
+            order_ref, feat_ref, cbox_ref, out_t_ref, prim_ref,
             *, n_chunks: int, any_hit: bool, eps: float, all_opaque: bool):
     """Grid: (n_ray_tiles,).  Refs:
     salt_ref (1,1) i32 SMEM; diag_ref (1,1) f32 SMEM (scene diameter bound)
     ro/rd (RT,3) VMEM; tlim (RT,1); act (RT,1) f32 (1=active)
+    rid (RT,1) i32 lane-invariant ray ids (alpha hash keys)
+    order_ref (ORDER_ROWS, ncp) i32 SMEM: per-tile near-to-far chunk order
     feat_ref (17, T_pad): rows n2(3) e1(3) e2(3) f_u(3) f_v(3) d0 accept
     cbox_ref (8, n_chunks_pad) SMEM: rows minx..maxz (2 pad)
     out_t_ref (RT, 1) f32 approx hit t; prim_ref (RT, 1) i32
     """
-    tile = pl.program_id(0)
     RT = RAY_TILE
     CK = TRI_CHUNK
 
@@ -86,55 +109,54 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
     dz = rd_ref[:, 2:3]
     act = act_ref[:, 0:1] > 0.5
     t_lim = tlim_ref[:, 0:1]
-    t_eff = jnp.where(act, t_lim, -jnp.float32(_BIG))  # folds the act mask
+    big = jnp.float32(_BIG)
+    t_eff = jnp.where(act, t_lim, -big)  # folds the act mask
 
     # ro x rd, shared by u_num / v_num across every chunk
     cxx = oy * dz - oz * dy
     cxy = oz * dx - ox * dz
     cxz = ox * dy - oy * dx
 
-    # conservative reach of this ray tile: AABB(origins) swept by t*dir,
-    # t <= min(diag, per-tile max t-limit); inactive rays excluded.
+    # tile extents over ACTIVE rays only (dead tiles collapse to nothing)
     diag = diag_ref[0, 0]
-    big = jnp.float32(_BIG)
-    t_cap = jnp.minimum(jnp.max(jnp.where(act, jnp.minimum(t_lim, diag),
-                                          -big)), diag)
-    t_cap = jnp.maximum(t_cap, 0.0)
+    o_min = [jnp.min(jnp.where(act, o, big)) for o in (ox, oy, oz)]
+    o_max = [jnp.max(jnp.where(act, o, -big)) for o in (ox, oy, oz)]
+    d_min = [jnp.min(jnp.where(act, d, 0.0)) for d in (dx, dy, dz)]
+    d_max = [jnp.max(jnp.where(act, d, 0.0)) for d in (dx, dy, dz)]
 
-    def reach(o, d):
-        o_act_min = jnp.min(jnp.where(act, o, big))
-        o_act_max = jnp.max(jnp.where(act, o, -big))
-        d_min = jnp.min(jnp.where(act, d, 0.0))
-        d_max = jnp.max(jnp.where(act, d, 0.0))
-        lo = o_act_min + t_cap * jnp.minimum(d_min, 0.0)
-        hi = o_act_max + t_cap * jnp.maximum(d_max, 0.0)
-        return lo, hi
+    t_cap0 = jnp.minimum(jnp.max(jnp.where(act, jnp.minimum(t_lim, diag),
+                                           -big)), diag)
+    t_cap0 = jnp.maximum(t_cap0, 0.0)
 
-    rxlo, rxhi = reach(ox, dx)
-    rylo, ryhi = reach(oy, dy)
-    rzlo, rzhi = reach(oz, dz)
-
-    ray_gid = (jnp.uint32(tile * RT)
-               + jax.lax.broadcasted_iota(jnp.uint32, (RT, CK), 0))
+    row = pl.program_id(0) % ORDER_ROWS
+    rid = jnp.broadcast_to(rid_ref[:, 0:1], (RT, CK)).astype(jnp.uint32)
     salt = salt_ref[0, 0].astype(jnp.uint32)
     eps_h = jnp.float32(eps)
 
-    def chunk_body(c, carry):
+    def chunk_body(ci, carry):
         # carry: per-LANE best (RT, CK) — lane k tracks the best hit among
         # triangles with in-chunk index k; ONE cross-lane reduction happens
-        # after the loop instead of two per chunk (cross-lane min/argmin on
-        # (256,128) costs ~14 shuffle ops; this costs 3 elementwise ops).
-        best_t, best_c = carry
-        # ---- scalar conservative cull ----
+        # after the loop instead of two per chunk.
+        best_t, best_c, t_cap = carry
+        c = order_ref[row, ci]
         cxlo = cbox_ref[0, c]
         cylo = cbox_ref[1, c]
         czlo = cbox_ref[2, c]
         cxhi = cbox_ref[3, c]
         cyhi = cbox_ref[4, c]
         czhi = cbox_ref[5, c]
-        overlap = ((cxlo <= rxhi) & (cxhi >= rxlo)
-                   & (cylo <= ryhi) & (cyhi >= rylo)
-                   & (czlo <= rzhi) & (czhi >= rzlo))
+        # (3) distance lower bound: tile origin box -> chunk box
+        gx = jnp.maximum(jnp.maximum(cxlo - o_max[0], o_min[0] - cxhi), 0.0)
+        gy = jnp.maximum(jnp.maximum(cylo - o_max[1], o_min[1] - cyhi), 0.0)
+        gz = jnp.maximum(jnp.maximum(czlo - o_max[2], o_min[2] - czhi), 0.0)
+        lb2 = gx * gx + gy * gy + gz * gz
+        # swept reach of this ray tile under the current t_cap
+        overlap = lb2 <= t_cap * t_cap
+        for i, (clo, chi) in enumerate(((cxlo, cxhi), (cylo, cyhi),
+                                        (czlo, czhi))):
+            rlo = o_min[i] + t_cap * jnp.minimum(d_min[i], 0.0)
+            rhi = o_max[i] + t_cap * jnp.maximum(d_max[i], 0.0)
+            overlap = overlap & (clo <= rhi) & (chi >= rlo)
         if any_hit:
             # stop testing once every active lane is resolved
             unresolved = jnp.any(act & jnp.all(best_c < 0, axis=1,
@@ -142,7 +164,7 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
             overlap = overlap & unresolved
 
         def tested(carry):
-            best_t, best_c = carry
+            best_t, best_c, t_cap = carry
             sl = pl.ds(c * CK, CK)
             n2x = feat_ref[0, sl].reshape(1, CK)
             n2y = feat_ref[1, sl].reshape(1, CK)
@@ -183,7 +205,7 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
                 accept = feat_ref[16, sl].reshape(1, CK)
                 prim_g = (jnp.uint32(c * CK)
                           + jax.lax.broadcasted_iota(jnp.uint32, (RT, CK), 1))
-                h = _mix32(ray_gid * jnp.uint32(0x9E3779B9)
+                h = _mix32(rid * jnp.uint32(0x9E3779B9)
                            ^ _mix32(prim_g + jnp.uint32(0x7F4A7C15) ^ salt))
                 # Mosaic lacks uint32->f32; use the top 24 bits via int32
                 uni = ((h >> 8).astype(jnp.int32).astype(jnp.float32)
@@ -192,15 +214,20 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
 
             tt = jnp.where(ok, tc, big)
             better = tt < best_t
-            return (jnp.where(better, tt, best_t),
-                    jnp.where(better, jnp.int32(c), best_c))
+            best_t = jnp.where(better, tt, best_t)
+            best_c = jnp.where(better, jnp.int32(c), best_c)
+            # (2) collective t-shrink
+            per_ray = jnp.min(best_t, axis=1, keepdims=True)
+            cap = jnp.max(jnp.where(act, jnp.minimum(per_ray, t_lim), -big))
+            t_cap = jnp.maximum(jnp.minimum(t_cap, cap), 0.0)
+            return best_t, best_c, t_cap
 
         return jax.lax.cond(overlap, tested, lambda cr: cr,
-                            (best_t, best_c))
+                            (best_t, best_c, t_cap))
 
     init = (jnp.full((RT, CK), big, jnp.float32),
-            jnp.full((RT, CK), -1, jnp.int32))
-    best_t, best_c = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+            jnp.full((RT, CK), -1, jnp.int32), t_cap0)
+    best_t, best_c, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
 
     # single cross-lane reduction: global best t + owning lane -> prim id
     tmin = jnp.min(best_t, axis=1, keepdims=True)                # (RT,1)
@@ -215,13 +242,23 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref,
 
 @functools.partial(jax.jit, static_argnames=("any_hit", "eps", "all_opaque",
                                               "interpret"))
-def _dense_trace(feat, cbox, ro, rd, t_lim, active, salt, diag,
+def _dense_trace(feat, cbox, ccent, ro, rd, t_lim, active, rid, salt, diag,
                  any_hit=False, eps=1e-5, all_opaque=False, interpret=False):
-    """feat (17, T_pad), cbox (8, n_chunks_pad), rays (R,3) padded to
-    RAY_TILE multiple.  Returns (t_approx (R,), prim (R,))."""
+    """feat (17, T_pad), cbox (8, n_chunks_pad), ccent (n_chunks, 3) host
+    chunk centroids, rays (R,3) padded to RAY_TILE multiple.
+    Returns (t_approx (R,), prim (R,))."""
     R = ro.shape[0]
     n_tiles = R // RAY_TILE
     n_chunks = feat.shape[1] // TRI_CHUNK
+    ncp = -(-n_chunks // 128) * 128
+
+    # (1) near-to-far chunk order per tile, from active-ray origin centroids
+    w = active.reshape(n_tiles, RAY_TILE, 1)
+    cw = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    cent = jnp.sum(ro.reshape(n_tiles, RAY_TILE, 3) * w, axis=1) / cw
+    d2 = jnp.sum((cent[:, None, :] - ccent[None]) ** 2, -1)  # (nT, nC)
+    order = jnp.argsort(d2, axis=1).astype(jnp.int32)
+    order = jnp.pad(order, ((0, (-n_tiles) % ORDER_ROWS), (0, ncp - n_chunks)))
 
     kernel = functools.partial(_kernel, n_chunks=n_chunks,
                                any_hit=any_hit, eps=eps,
@@ -240,6 +277,12 @@ def _dense_trace(feat, cbox, ro, rd, t_lim, active, salt, diag,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # per-tile chunk order: scalar reads need SMEM; SMEM block rows
+            # must be 8-aligned, so tiles share 8-row blocks (row = tile % 8)
+            pl.BlockSpec((ORDER_ROWS, ncp), lambda i: (i // ORDER_ROWS, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(feat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             # chunk bboxes are read as scalars with a dynamic chunk index —
@@ -258,15 +301,16 @@ def _dense_trace(feat, cbox, ro, rd, t_lim, active, salt, diag,
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(salt, diag, ro, rd, t_lim, active, feat, cbox)
+    )(salt, diag, ro, rd, t_lim, active, rid, order, feat, cbox)
     return out_t[:, 0], prim[:, 0]
 
 
 def build_tri_features(scene):
     """(17, T_pad) separable-MT feature SoA + (8, n_chunks_pad) chunk bboxes
-    from the (BVH-leaf-ordered) scene triangle arrays.  jnp; cheap;
-    jit-safe; differentiable into scene.tris (only used for the winner's
-    exact recompute — the kernel consumes it as data)."""
+    + (n_chunks, 3) chunk centroids from the (BVH-leaf-ordered) scene
+    triangle arrays.  jnp; cheap; jit-safe; differentiable into scene.tris
+    (only used for the winner's exact recompute — the kernel consumes it as
+    data)."""
     tr = scene.tris
     T = tr.v0.shape[0]
     pad = (-T) % TRI_CHUNK
@@ -319,7 +363,8 @@ def build_tri_features(scene):
     rows.append(jnp.zeros(nC, f32))
     rows.append(jnp.zeros(nC, f32))
     cbox = jnp.stack(rows)  # (8, nC)
-    return feat, cbox
+    ccent = 0.5 * (cbox[:3] + cbox[3:6]).T  # (nC, 3)
+    return feat, cbox, ccent
 
 
 def _exact_hit(scene, ro, rd, prim, eps):
@@ -339,13 +384,15 @@ def _exact_hit(scene, ro, rd, prim, eps):
 
 
 def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
-                       active=None, any_hit=False, interpret=False,
-                       differentiable=True):
+                       active=None, ray_id=None, any_hit=False,
+                       interpret=False, differentiable=True):
     """Drop-in closest-hit/any-hit over the Pallas dense kernel.
     Returns the same Hit tuple as ops.intersect.closest_hit (triangles
     only — the caller layers the dense sphere/cone passes on top).
     hit.t/u/v carry gradients to scene.tris and rays because the exact
-    values are recomputed outside the kernel from the winning prim."""
+    values are recomputed outside the kernel from the winning prim.
+    ``ray_id``: lane-invariant ids for the alpha hash (defaults to the
+    dispatch slot; compaction callers must pass the original lane ids)."""
     from .intersect import Hit
 
     del differentiable  # always differentiable now (exact recompute path)
@@ -363,16 +410,20 @@ def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
         ac = jnp.pad(jnp.ones((R, 1), dt), ((0, pad), (0, 0)))
     else:
         ac = jnp.pad(active.astype(dt)[:, None], ((0, pad), (0, 0)))
+    if ray_id is None:
+        ray_id = jnp.arange(R, dtype=jnp.int32)
+    ridp = jnp.pad(ray_id.astype(jnp.int32)[:, None], ((0, pad), (0, 0)))
 
-    feat, cbox = build_tri_features(scene)
+    feat, cbox, ccent = build_tri_features(scene)
     feat = jax.lax.stop_gradient(feat)
     cbox = jax.lax.stop_gradient(cbox)
+    ccent = jax.lax.stop_gradient(ccent)
     diag = jnp.linalg.norm(jax.lax.stop_gradient(
         (scene.world_max - scene.world_min).astype(dt))) * 1.001
     salt_arr = jnp.asarray(salt, jnp.int32).reshape(1, 1)
     diag_arr = diag.reshape(1, 1)
 
-    tk, prim = _dense_trace(feat, cbox, rop, rdp, tl, ac,
+    tk, prim = _dense_trace(feat, cbox, ccent, rop, rdp, tl, ac, ridp,
                             salt_arr, diag_arr,
                             any_hit=any_hit, eps=eps,
                             all_opaque=scene.all_opaque,

@@ -12,8 +12,12 @@ include/raytracer.h:167-276) under a per-pixel adaptive sample loop
   lanes are masked out of the update.  Wave w uses exactly the Halton index
   the reference would use for per-pixel sample w, so sample positions are
   bit-identical.
+* the whole multi-wave adaptive loop runs ON DEVICE as one jitted
+  `lax.while_loop` (`Renderer.render`) — zero per-wave host dispatches or
+  syncs; the python-loop path survives only for progressive preview /
+  checkpointing (``on_wave``).
 
-Everything inside `render_wave` is jit-compiled; gradients flow through the
+Everything is jit-compiled and differentiable; gradients flow through the
 whole estimator to scene parameters (materials, textures, lights, camera).
 """
 
@@ -32,7 +36,8 @@ from ..sampling.rng import Purpose, stream
 from ..scene.types import Scene
 from .camera import Camera, primary_rays
 from .geom import normalize, random_unit_vec, PI
-from .shading import hit_attributes_uv, material_lookup, secondary_ray
+from .shading import (pack_shade_tables, hit_attributes_packed,
+                      material_lookup_packed, secondary_ray)
 from .atmosphere import fog_override, fog_occludes
 
 
@@ -43,6 +48,8 @@ class PathState(NamedTuple):
     contrib: jnp.ndarray   # (R,3) Russian-roulette driver
     radiance: jnp.ndarray  # (R,3) accumulated
     alive: jnp.ndarray     # (R,)
+    n_closest: jnp.ndarray  # () honest ray counters: alive closest-hit lanes
+    n_shadow: jnp.ndarray   # () and issued shadow-ray lanes
 
 
 def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
@@ -83,17 +90,21 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
 
 
 def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
-                  sx_all, sy_all, key, wave_salt, photon_map=None):
-    """Trace a wave of rays through `max_depth` bounces; returns (R,3).
+                  sx_all, sy_all, key, wave_salt, photon_map=None,
+                  with_counts: bool = False):
+    """Trace a wave of rays through `max_depth` bounces; returns (R,3)
+    radiance (and, with ``with_counts``, the honest per-wave traversal
+    counts: alive closest-hit lanes and issued shadow-ray lanes).
 
     sx_all/sy_all: (D, R) per-bounce BSDF sample pairs (QMC dims 2+2d/3+2d,
-    raytracer.h:172-173; PRNG beyond the sampler's 31 dims like the
+    raytracer.h:172-173; PRNG beyond the sampler's 256 dims like the
     reference's rand() fallback).
     """
     R = ro.shape[0]
     dt = ro.dtype
     D = cfg.max_depth
     ambient = jnp.asarray(cfg.ambient, dt)
+    pack = pack_shade_tables(scene)
 
     state = PathState(
         ro=ro, rd=rd,
@@ -101,6 +112,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         contrib=jnp.ones((R, 3), dt),
         radiance=jnp.zeros((R, 3), dt),
         alive=jnp.ones((R,), bool),
+        n_closest=jnp.zeros((), jnp.int32),
+        n_shadow=jnp.zeros((), jnp.int32),
     )
 
     def body(st: PathState, xs):
@@ -116,10 +129,10 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         hit = trace_closest(scene, st.ro, st.rd, salt=salt, eps=cfg.epsilon,
                             active=st.alive, backend=cfg.intersect_backend,
                             compact=cfg.compact_wavefront)
-        attrs = hit_attributes_uv(scene, st.ro, st.rd, hit.t, hit.prim,
-                                  hit.u, hit.v)
-        color, em, alpha, rough, ior = material_lookup(scene, attrs.mat_id,
-                                                       attrs.uv)
+        attrs = hit_attributes_packed(scene, pack, st.ro, st.rd, hit.t,
+                                      hit.prim, hit.u, hit.v)
+        color, em, alpha, rough, ior = material_lookup_packed(
+            scene, pack, attrs.mat_id, attrs.uv)
         sec = secondary_ray(st.rd, attrs.normal, color, alpha, rough, ior,
                             sx, sy, u_op, u_fs, st.contrib)
         point, normal = attrs.point, sec.normal
@@ -132,8 +145,9 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
                 scene, cfg, st.ro, st.rd, hit.t, sx, sy, salt,
                 point, normal, out_dir, f, color, contrib, rough, offset_sign)
 
+        valid = st.alive & attrs.valid
         i_direct = _direct_light(scene, cfg, point, normal, rough,
-                                 u_light, salt, active=st.alive & attrs.valid)
+                                 u_light, salt, active=valid)
 
         if photon_map is not None:
             from .photon import sample_photons
@@ -148,7 +162,6 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         boost = jnp.where(depth <= cfg.min_depth, 1.0,
                           1.0 / jnp.maximum(q, 1e-12))
 
-        valid = st.alive & attrs.valid
         lum = st.radiance
         lum = lum + jnp.where(valid[:, None],
                               st.throughput * (color * i_direct), 0.0)
@@ -160,10 +173,16 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         new_T = st.throughput * f * boost[:, None]
         new_alive = valid & survive
         new_ro = point + (offset_sign * cfg.shadow_bias)[:, None] * normal
-        return PathState(new_ro, out_dir, new_T, contrib, lum, new_alive), None
+        n_closest = st.n_closest + jnp.sum(st.alive, dtype=jnp.int32)
+        n_shadow = st.n_shadow + scene.lights.count * jnp.sum(
+            valid, dtype=jnp.int32)
+        return PathState(new_ro, out_dir, new_T, contrib, lum, new_alive,
+                         n_closest, n_shadow), None
 
     depths = jnp.arange(D)
     state, _ = jax.lax.scan(body, state, (depths, sx_all, sy_all))
+    if with_counts:
+        return state.radiance, (state.n_closest, state.n_shadow)
     return state.radiance
 
 
@@ -179,6 +198,10 @@ class Renderer:
         self.sampler = HaltonSampler()
         self.enum = HaltonEnum(width, height)
         self.photon_map = photon_map
+        # static bound on Halton indices this frame (wave < max_samples):
+        # lets the arithmetic sampler skip provably-zero digits
+        hi = self.enum.increment * max(config.max_samples, 1)
+        self._index_bits = max(int(hi - 1).bit_length(), 1)
         # host NumPy key: a device-array closure constant is fetched back
         # from the device on every jit lowering (seconds over a TPU tunnel)
         import numpy as _np
@@ -192,28 +215,34 @@ class Renderer:
             dim_x, dim_y = 2 + 2 * d, 3 + 2 * d
             kx = stream(self._key, int(Purpose.DEEP_DIM_X), d)
             ky = stream(self._key, int(Purpose.DEEP_DIM_Y), d)
-            sx.append(self.sampler.sample(dim_x, idx_flat)
+            sx.append(self.sampler.sample(dim_x, idx_flat, self._index_bits)
                       if dim_x < MAX_QMC_DIMS else
                       jax.random.uniform(kx, idx_flat.shape))
-            sy.append(self.sampler.sample(dim_y, idx_flat)
+            sy.append(self.sampler.sample(dim_y, idx_flat, self._index_bits)
                       if dim_y < MAX_QMC_DIMS else
                       jax.random.uniform(ky, idx_flat.shape))
         dt = jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
         return (jnp.stack(sx).astype(dt), jnp.stack(sy).astype(dt))
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def _wave(self, scene, photon_map, idx_flat, wave_i):
-        """One full-frame sample wave -> (H*W, 3) radiance."""
+    def _wave_radiance(self, scene, photon_map, idx_flat, wave_i,
+                       with_counts=False):
+        """One full-frame sample wave -> (H*W, 3) radiance (traceable)."""
         dt = jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
-        xr = self.sampler.sample(0, idx_flat).astype(dt)
-        yr = self.sampler.sample(1, idx_flat).astype(dt)
+        xr = self.sampler.sample(0, idx_flat, self._index_bits).astype(dt)
+        yr = self.sampler.sample(1, idx_flat, self._index_bits).astype(dt)
         dx = xr * self.enum.scale_x
         dy = yr * self.enum.scale_y
         ro, rd = primary_rays(self.camera, self.width, self.height, dx, dy)
         sx_all, sy_all = self._bounce_samples(idx_flat)
         key = jax.random.fold_in(self._key, wave_i)
         return radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
-                             key, wave_i * 65537, photon_map)
+                             key, wave_i * 65537, photon_map,
+                             with_counts=with_counts)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _wave(self, scene, photon_map, idx_flat, wave_i):
+        """One full-frame sample wave -> (H*W, 3) radiance."""
+        return self._wave_radiance(scene, photon_map, idx_flat, wave_i)
 
     def state0(self):
         """Fresh accumulation state (the reference's per-pixel running
@@ -226,46 +255,89 @@ class Renderer:
             "samps": jnp.zeros((H, W), jnp.int32),
             "active": jnp.ones((H, W), bool),
             "wave": jnp.zeros((), jnp.int32),
+            # honest traversal count; float32 so huge renders can't overflow
+            "rays": jnp.zeros((), jnp.float32),
         }
 
-    def render(self, verbose: bool = False, on_wave=None, state=None):
+    def _accumulate(self, st, c, s):
+        """One adaptive-sampling update (raytracer.h:131-148), traceable."""
+        cfg = self.cfg
+        mean, var = st["mean"], st["var"]
+        samps, active = st["samps"], st["active"]
+        prev = mean
+        new_mean = jnp.where(s == 0, c, (s * mean + c) / (s + 1.0))
+        mean = jnp.where(active[..., None], new_mean, mean)
+        dv = jnp.linalg.norm(new_mean - prev, axis=-1)
+        var = jnp.where((s > 0) & active, (5.0 * var + dv) / 6.0, var)
+        extend = (s > 0) & (var > cfg.noise_thresh)
+        samps = jnp.where(active, samps + 1 - 2 * extend, samps)
+        active = active & (samps < cfg.min_samples)
+        return {"mean": mean, "var": var, "samps": samps, "active": active,
+                "wave": jnp.asarray(s + 1, jnp.int32), "rays": st["rays"]}
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _render_fused(self, scene, photon_map, state):
+        """The ENTIRE adaptive multi-wave render as one on-device
+        `lax.while_loop` — replaces the reference's per-pixel sample loop
+        + OpenMP row fan-out (raytracer.h:93-148) with zero host round
+        trips."""
+        import numpy as _np
+        H, W = self.height, self.width
+        offsets = _np.asarray(self.enum.offsets)      # host constant
+        inc = _np.uint32(self.enum.increment)
+
+        def cond(st):
+            return (st["wave"] < self.cfg.max_samples) & jnp.any(st["active"])
+
+        def body(st):
+            s = st["wave"]
+            idx = (jnp.asarray(offsets)
+                   + s.astype(jnp.uint32) * inc).ravel()
+            c, (n_c, n_s) = self._wave_radiance(
+                scene, photon_map, idx, s.astype(jnp.uint32),
+                with_counts=True)
+            st = self._accumulate(st, c.reshape(H, W, 3), s)
+            st["rays"] = st["rays"] + (n_c + n_s).astype(jnp.float32)
+            return st
+
+        return jax.lax.while_loop(cond, body, state)
+
+    def render(self, verbose: bool = False, on_wave=None, state=None,
+               return_state: bool = False):
         """Adaptive multi-wave render -> linear (H, W, 3) mean image.
+
+        Default path: ONE jitted on-device while_loop over waves.
 
         ``on_wave(state_dict, wave_index)`` is the incremental-display /
         checkpoint hook (the TPU-side equivalent of the reference viewer's
         32 ms repaint + progressive fill, viewer.h:16-61): called after
         every wave with the full accumulation state, which can be saved and
-        passed back as ``state=`` to resume an interrupted render.
+        passed back as ``state=`` to resume an interrupted render.  Using it
+        falls back to a host-stepped wave loop.
         """
         cfg = self.cfg
         H, W = self.height, self.width
         st = state if state is not None else self.state0()
-        mean, var = st["mean"], st["var"]
-        samps, active = st["samps"], st["active"]
-        first = int(st["wave"])
+        if "rays" not in st:   # resume from an old checkpoint
+            st = dict(st, rays=jnp.zeros((), jnp.float32))
 
+        if on_wave is None and not verbose:
+            st = self._render_fused(self.scene, self.photon_map, st)
+            return (st["mean"], st) if return_state else st["mean"]
+
+        first = int(st["wave"])
         for s in range(first, cfg.max_samples):
             idx = self.enum.index_image(s).ravel()
             c = self._wave(self.scene, self.photon_map, idx,
                            jnp.uint32(s)).reshape(H, W, 3)
-            prev = mean
-            new_mean = jnp.where(s == 0, c, (s * mean + c) / (s + 1.0))
-            mean = jnp.where(active[..., None], new_mean, mean)
-            if s > 0:
-                dv = jnp.linalg.norm(new_mean - prev, axis=-1)
-                var = jnp.where(active, (5.0 * var + dv) / 6.0, var)
-            extend = (s > 0) & (var > cfg.noise_thresh)
-            samps = jnp.where(active, samps + 1 - 2 * extend, samps)
-            active = active & (samps < cfg.min_samples)
+            st = self._accumulate(st, c, jnp.asarray(s))
             if verbose:
-                print(f"wave {s}: active {int(active.sum())}/{H * W}")
+                print(f"wave {s}: active {int(st['active'].sum())}/{H * W}")
             if on_wave is not None:
-                on_wave({"mean": mean, "var": var, "samps": samps,
-                         "active": active,
-                         "wave": jnp.asarray(s + 1, jnp.int32)}, s)
-            if not bool(active.any()):
+                on_wave(st, s)
+            if not bool(st["active"].any()):
                 break
-        return mean
+        return (st["mean"], st) if return_state else st["mean"]
 
     def tonemap(self, linear):
         """Gamma + clamp at the very end (raytracer.h:150-156)."""

@@ -17,8 +17,92 @@ from .geom import (dot, normalize, reflect, refract_tir, hemisphere_cos,
 
 
 # --------------------------------------------------------------------------
-# textures
+# packed shade tables
+#
+# Per-hit attribute fetches are random gathers; on TPU a gather's cost is
+# per-row, nearly independent of row width, so ~25 narrow gathers per bounce
+# (one per SoA field) cost ~20 ms/wave at 262k lanes.  Packing the per-tri,
+# per-material and per-texture fields into single wide tables makes each
+# bounce 4 gathers.  The packs are built from the canonical Scene arrays
+# inside the jitted render (cheap: one pass over T rows, hoisted out of the
+# bounce scan as a loop constant) so gradients still flow to the canonical
+# leaves.
 # --------------------------------------------------------------------------
+
+class ShadePack(NamedTuple):
+    tri_attr: jnp.ndarray   # (T, 18): n0 n1 n2 uv0 uv1 uv2 face_n has_vn
+    tri_mat: jnp.ndarray    # (T,) int32
+    mat_f: jnp.ndarray      # (M, 3): roughness opacity ior
+    mat_tex: jnp.ndarray    # (M, 2) int32: diffuse_tex emissive_tex
+    tex_f: jnp.ndarray      # (K, 8): color color2 tiles
+    tex_i: jnp.ndarray      # (K, 5) int32: kind offset width height has_alpha
+
+
+def pack_shade_tables(scene: Scene) -> ShadePack:
+    tr = scene.tris
+    m = scene.materials
+    tx = scene.textures
+    has_vn = ((jnp.sum(tr.n0 * tr.n0, -1) > 0)
+              & (jnp.sum(tr.n1 * tr.n1, -1) > 0)
+              & (jnp.sum(tr.n2 * tr.n2, -1) > 0))
+    tri_attr = jnp.concatenate([
+        tr.n0, tr.n1, tr.n2, tr.uv0, tr.uv1, tr.uv2, tr.face_n,
+        has_vn[:, None].astype(tr.v0.dtype)], axis=1) if tr.count else \
+        jnp.zeros((0, 19), tr.v0.dtype)
+    mat_f = jnp.stack([m.roughness, m.opacity, m.ior], axis=1)
+    mat_tex = jnp.stack([m.diffuse_tex, m.emissive_tex], axis=1)
+    tex_f = jnp.concatenate([tx.color, tx.color2, tx.tiles], axis=1)
+    tex_i = jnp.stack([tx.kind, tx.offset, tx.width, tx.height,
+                       tx.has_alpha.astype(jnp.int32)], axis=1)
+    return ShadePack(tri_attr, tr.mat_id, mat_f, mat_tex, tex_f, tex_i)
+
+
+def sample_texture_packed(scene: Scene, pack: ShadePack, tid: jnp.ndarray,
+                          uv: jnp.ndarray):
+    """(rgb (R,3), alpha (R,)) for texture ids ``tid`` at ``uv`` — packed
+    fast path: 2 gathers (+1 atlas fetch when the scene has image textures).
+
+    Follows material.h:39-47 (checkerboard int-cast parity) and
+    material.h:63-78 (image fetch with V flip and tiling).  Image texels are
+    already linear (de-gamma at load).
+    """
+    u, v = uv[..., 0], uv[..., 1]
+    tf = pack.tex_f[tid]                     # (R, 8)
+    ti = pack.tex_i[tid]                     # (R, 5)
+    kind = ti[..., 0]
+    const_rgb = tf[..., 0:3]
+    color2 = tf[..., 3:6]
+    tlu, tlv = tf[..., 6], tf[..., 7]
+
+    # checkerboard: ((int)(u*t) % 2 == 0) ^ ((int)(v*t) % 2 == 0) -> a : b
+    iu = jnp.trunc(u * tlu)
+    iv = jnp.trunc(v * tlv)
+    even_u = jnp.abs(iu) % 2.0 < 0.5
+    even_v = jnp.abs(iv) % 2.0 < 0.5
+    checker_rgb = jnp.where((even_u ^ even_v)[..., None], const_rgb, color2)
+
+    rgb = jnp.where((kind == TEX_CHECKER)[..., None], checker_rgb, const_rgb)
+    alpha = jnp.ones_like(u)
+
+    if scene.has_image_tex:
+        # image: x = |(int)(u*w*tx) % w| ; y = h - |(int)(v*h*ty) % h| - 1
+        w = ti[..., 2]
+        h = ti[..., 3]
+        wf = w.astype(u.dtype)
+        hf = h.astype(u.dtype)
+        xi = jnp.abs(jnp.trunc(u * wf * tlu).astype(jnp.int32)
+                     % jnp.maximum(w, 1))
+        yi_raw = jnp.abs(jnp.trunc(v * hf * tlv).astype(jnp.int32)
+                         % jnp.maximum(h, 1))
+        yi = h - yi_raw - 1
+        flat = ti[..., 1] + yi * w + xi
+        flat = jnp.clip(flat, 0, scene.textures.atlas.shape[0] - 1)
+        texel = scene.textures.atlas[flat]
+        is_img = kind == TEX_IMAGE
+        rgb = jnp.where(is_img[..., None], texel[..., :3], rgb)
+        alpha = jnp.where(is_img & (ti[..., 4] > 0), texel[..., 3], alpha)
+    return rgb, alpha
+
 
 def sample_texture(tex: Textures, tid: jnp.ndarray, uv: jnp.ndarray):
     """(rgb (R,3), alpha (R,)) for texture ids ``tid`` at ``uv``.
@@ -63,6 +147,16 @@ def sample_texture(tex: Textures, tid: jnp.ndarray, uv: jnp.ndarray):
     return rgb, alpha
 
 
+def material_lookup_packed(scene: Scene, pack: ShadePack, mat_id, uv):
+    """Packed fast path of :func:`material_lookup`: 2 + 2*2 gathers."""
+    mf = pack.mat_f[mat_id]                  # (R, 3)
+    mt = pack.mat_tex[mat_id]                # (R, 2)
+    rgb, ta = sample_texture_packed(scene, pack, mt[..., 0], uv)
+    em, _ = sample_texture_packed(scene, pack, mt[..., 1], uv)
+    alpha = mf[..., 1] * ta
+    return rgb, em, alpha, mf[..., 0], mf[..., 2]
+
+
 def material_lookup(scene: Scene, mat_id: jnp.ndarray, uv: jnp.ndarray):
     """Gather (diffuse rgb, emissive rgb, alpha=opacity*tex_alpha, roughness,
     ior) for hit materials (material.h:84-100)."""
@@ -83,6 +177,72 @@ class HitAttrs(NamedTuple):
     uv: jnp.ndarray        # (R, 2)
     mat_id: jnp.ndarray    # (R,)
     valid: jnp.ndarray     # (R,)
+
+
+def hit_attributes_packed(scene: Scene, pack: ShadePack, ro, rd, t, prim,
+                          bu, bv) -> HitAttrs:
+    """Packed fast path of :func:`hit_attributes_uv`: one wide (R, 19)
+    gather for all triangle attributes instead of ~8 narrow ones.
+    Semantics identical (entities.h:480-487 interpolation gate)."""
+    valid = prim >= 0
+    total = max(scene.n_tris + scene.n_spheres + scene.n_cones - 1, 0)
+    p = jnp.clip(prim, 0, total)
+    is_tri = p < scene.n_tris if scene.n_tris else jnp.zeros_like(valid)
+    t_safe = jnp.where(valid, t, 0.0)
+    point = ro + t_safe[:, None] * rd
+
+    if scene.n_tris:
+        tp = jnp.clip(p, 0, scene.n_tris - 1)
+        a = pack.tri_attr[tp]                      # (R, 19)
+        n0, n1, n2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
+        uv0, uv1, uv2 = a[:, 9:11], a[:, 11:13], a[:, 13:15]
+        face_n = a[:, 15:18]
+        has_vn = a[:, 18] > 0.5
+        w0 = (1.0 - bu - bv)[:, None]
+        n_interp = w0 * n0 + bu[:, None] * n1 + bv[:, None] * n2
+        tri_n = jnp.where(has_vn[:, None], n_interp, face_n)
+        tri_uv = w0 * uv0 + bu[:, None] * uv1 + bv[:, None] * uv2
+        tri_uv = jnp.where(has_vn[:, None], tri_uv, jnp.zeros_like(tri_uv))
+        tri_mat = pack.tri_mat[tp]
+    else:
+        tri_n = jnp.zeros_like(point)
+        tri_uv = jnp.zeros_like(point[:, :2])
+        tri_mat = jnp.zeros(point.shape[0], jnp.int32)
+
+    normal, uv, mat_id = _layer_sphere_cone_attrs(
+        scene, p, point, valid, is_tri, tri_n, tri_uv, tri_mat)
+    return HitAttrs(point, normal, uv, mat_id, valid)
+
+
+def _layer_sphere_cone_attrs(scene, p, point, valid, is_tri,
+                             tri_n, tri_uv, tri_mat):
+    """Sphere (entities.h:85-97) and cone attrs layered over triangle ones."""
+    if scene.n_spheres:
+        sp = jnp.clip(p - scene.n_tris, 0, scene.n_spheres - 1)
+        c = scene.spheres.pos[sp]
+        rad = scene.spheres.rad[sp]
+        sph_n = (point - c) / rad[:, None]
+        d = (c - point) / rad[:, None]
+        sv = 0.5 + jnp.arcsin(jnp.clip(d[:, 1], -1, 1)) / jnp.pi
+        su = 0.5 + jnp.arctan2(d[:, 2], d[:, 0]) / (2 * jnp.pi)
+        sph_uv = jnp.stack([su, sv], -1)
+        sph_mat = scene.spheres.mat_id[sp]
+        normal = jnp.where(is_tri[:, None], tri_n, sph_n)
+        uv = jnp.where(is_tri[:, None], tri_uv, sph_uv)
+        mat_id = jnp.where(is_tri, tri_mat, sph_mat)
+    else:
+        normal, uv, mat_id = tri_n, tri_uv, tri_mat
+
+    if scene.n_cones:
+        from ..ops.intersect import cone_attrs
+        base = scene.n_tris + scene.n_spheres
+        cp = jnp.clip(p - base, 0, scene.n_cones - 1)
+        cone_n, cone_uv = cone_attrs(scene.cones, point, cp)
+        is_cone = p >= base
+        normal = jnp.where(is_cone[:, None], cone_n, normal)
+        uv = jnp.where(is_cone[:, None], cone_uv, uv)
+        mat_id = jnp.where(is_cone, scene.cones.mat_id[cp], mat_id)
+    return normal, uv, mat_id
 
 
 def hit_attributes_uv(scene: Scene, ro, rd, t, prim, bu, bv) -> HitAttrs:
@@ -120,33 +280,8 @@ def hit_attributes_uv(scene: Scene, ro, rd, t, prim, bu, bv) -> HitAttrs:
         tri_uv = jnp.zeros_like(point[:, :2])
         tri_mat = jnp.zeros(point.shape[0], jnp.int32)
 
-    if scene.n_spheres:
-        sp = jnp.clip(p - scene.n_tris, 0, scene.n_spheres - 1)
-        c = scene.spheres.pos[sp]
-        rad = scene.spheres.rad[sp]
-        sph_n = (point - c) / rad[:, None]
-        d = (c - point) / rad[:, None]
-        # spherical uv (entities.h:92-97)
-        sv = 0.5 + jnp.arcsin(jnp.clip(d[:, 1], -1, 1)) / jnp.pi
-        su = 0.5 + jnp.arctan2(d[:, 2], d[:, 0]) / (2 * jnp.pi)
-        sph_uv = jnp.stack([su, sv], -1)
-        sph_mat = scene.spheres.mat_id[sp]
-        normal = jnp.where(is_tri[:, None], tri_n, sph_n)
-        uv = jnp.where(is_tri[:, None], tri_uv, sph_uv)
-        mat_id = jnp.where(is_tri, tri_mat, sph_mat)
-    else:
-        normal, uv, mat_id = tri_n, tri_uv, tri_mat
-
-    if scene.n_cones:
-        from ..ops.intersect import cone_attrs
-        base = scene.n_tris + scene.n_spheres
-        cp = jnp.clip(p - base, 0, scene.n_cones - 1)
-        cone_n, cone_uv = cone_attrs(scene.cones, point, cp)
-        is_cone = p >= base
-        normal = jnp.where(is_cone[:, None], cone_n, normal)
-        uv = jnp.where(is_cone[:, None], cone_uv, uv)
-        mat_id = jnp.where(is_cone, scene.cones.mat_id[cp], mat_id)
-
+    normal, uv, mat_id = _layer_sphere_cone_attrs(
+        scene, p, point, valid, is_tri, tri_n, tri_uv, tri_mat)
     return HitAttrs(point, normal, uv, mat_id, valid)
 
 

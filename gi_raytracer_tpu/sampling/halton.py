@@ -1,18 +1,22 @@
 """Vectorized scrambled-Halton QMC engine.
 
 Re-derivation of the classic Gruenschloss Halton sampler used by the
-reference (reference include/halton_sampler.h, include/halton_enum.h) as flat
-table lookups over ``jnp`` arrays, bit-comparable with the reference:
+reference (reference include/halton_sampler.h, include/halton_enum.h),
+bit-comparable with the reference across all 256 dimensions
+(halton_sampler.h:626-888):
 
 * dimension 0 is the base-2 radical inverse computed by bit reversal
   (halton_sampler.h:1417-1432),
-* dimensions 1..30 are permuted radical inverses in the first 31 odd primes,
-  evaluated chunk-wise through precomputed digit-permutation tables
-  (halton_sampler.h:1435-…); tables use Faure digit permutations
-  (halton_sampler.h:573-603),
-* dimensions >= 31 fall back to pseudo-random uniforms, exactly like the
-  reference falls back to ``rand()`` (halton_sampler.h:887) — callers supply
-  those from a counter-based PRNG.
+* dimensions 1..255 are permuted radical inverses in the first 255 odd
+  primes (Faure or random digit permutations, halton_sampler.h:573-624).
+  Two evaluation strategies produce the identical uint32 accumulator:
+  - **arithmetic** (default for small primes, used by the renderer's hot
+    path): per-digit divide/modulo with the digit permutation evaluated as
+    a compare-select chain — pure VPU math, no gathers.  A 262k-lane wave
+    costs ~30µs/dim vs ~3ms/dim for table gathers on TPU.
+  - **table** (large primes, cold dims): chunk-wise lookups through the
+    same precomputed digit-permutation tables the reference bakes
+    (halton_sampler.h:890-960).
 
 The pixel-stratified sample enumeration (``HaltonEnum``) implements the
 Gruenschloss–Raab–Keller elementary-interval construction
@@ -32,12 +36,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# The 31 primes the reference's switch covers (dims 0..30); deeper dims use
-# PRNG fallback, matching halton_sampler.h:626-888.
-PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61,
-          67, 71, 73, 79, 83, 89, 97, 101, 103, 107, 109, 113, 127)
 
-MAX_QMC_DIMS = len(PRIMES)  # 31
+def _first_primes(n: int) -> tuple:
+    ps, c = [], 2
+    while len(ps) < n:
+        if all(c % p for p in ps if p * p <= c):
+            ps.append(c)
+        c += 1
+    return tuple(ps)
+
+
+# All 256 primes of the reference's switch (dims 0..255, bases 2..1619,
+# halton_sampler.h:626-888); dims >= 256 use PRNG fallback exactly like the
+# reference falls back to rand() (halton_sampler.h:887).
+PRIMES = _first_primes(256)
+assert PRIMES[-1] == 1619  # the reference's largest base
+
+MAX_QMC_DIMS = len(PRIMES)  # 256
+
+# Largest prime evaluated arithmetically (select-chain); beyond this the
+# per-digit select chain costs more than the table gathers it avoids.
+ARITH_MAX_PRIME = 150
 
 _SCALE_EPS = 0.9999998807907104  # keeps results strictly in [0,1)
 
@@ -148,25 +167,19 @@ class HaltonSampler:
         # the device and be fetched back during every jit lowering (several
         # seconds per round-trip through a remote-TPU tunnel); NumPy
         # constants embed into the MLIR module directly.
+        self._perms = perms
         self._tables: dict[int, np.ndarray] = {}
         self._meta: dict[int, tuple[int, int, float]] = {}
         for p in PRIMES[1:]:
             k = _table_digits(p)
             c = _total_chunks(p, k)
-            self._tables[p] = _build_table(p, perms[p], k)
+            if p > ARITH_MAX_PRIME:
+                self._tables[p] = _build_table(p, perms[p], k)
             self._meta[p] = (k, c, _SCALE_EPS / float(p ** (k * c)))
 
-    @functools.partial(jax.jit, static_argnums=(0, 1))
-    def sample(self, dim: int, index: jnp.ndarray) -> jnp.ndarray:
-        """QMC sample for static dimension ``dim`` at uint32 ``index``."""
-        if not (0 <= dim < MAX_QMC_DIMS):
-            raise ValueError(
-                f"dim {dim} outside QMC range [0,{MAX_QMC_DIMS}); "
-                "use the PRNG fallback for deeper dims")
-        index = index.astype(jnp.uint32)
-        if dim == 0:
-            return halton2(index)
-        p = PRIMES[dim]
+    def _sample_table(self, p: int, index: jnp.ndarray) -> jnp.ndarray:
+        """Chunk-wise table lookups (the reference's baked-table strategy,
+        halton_sampler.h:1433-3288)."""
         k, c, scale = self._meta[p]
         table = jnp.asarray(self._tables[p])
         chunk = np.uint32(p ** k)
@@ -178,6 +191,66 @@ class HaltonSampler:
             if i + 1 < c:
                 div = div // chunk
         return acc.astype(jnp.float32) * jnp.float32(scale)
+
+    def _sample_arith(self, p: int, index: jnp.ndarray,
+                      index_bits: int) -> jnp.ndarray:
+        """Gather-free digit arithmetic, bit-identical to the table path.
+
+        Computes the same uint32 accumulator the reference's chunked tables
+        produce: ``acc = sum_j perm[digit_j(index)] * p^(K-1-j)`` over
+        K = k*c total digits.  The permutation is a compare-select chain
+        over host constants (pure VPU).  ``index_bits`` bounds the index so
+        high zero digits can be folded into one exact integer multiply:
+        digits beyond the bound are all 0, contributing
+        ``perm[0] * (p^extra - 1)/(p - 1)`` plus a shift by p^extra.
+        """
+        k, c, scale = self._meta[p]
+        K = k * c
+        perm = self._perms[p]
+        # digits actually influenced by an index < 2**index_bits
+        needed = 1
+        while needed < K and p ** needed < (1 << index_bits):
+            needed += 1
+        extra = K - needed
+        pv = np.uint32(p)
+        perm_consts = [np.uint32(v) for v in perm]
+        acc = jnp.zeros(index.shape, dtype=jnp.uint32)
+        div = index
+        for j in range(needed):
+            d = div % pv
+            # perm[d] as a compare-select chain (d < p, tiny domain)
+            pd = jnp.full(index.shape, perm_consts[0], jnp.uint32)
+            for v in range(1, p):
+                pd = jnp.where(d == np.uint32(v), perm_consts[v], pd)
+            acc = acc * pv + pd
+            if j + 1 < needed:
+                div = div // pv
+        if extra:
+            shift = np.uint32(p ** extra)
+            tail = np.uint32(int(perm[0]) * ((p ** extra - 1) // (p - 1)))
+            acc = acc * shift + tail
+        return acc.astype(jnp.float32) * jnp.float32(scale)
+
+    @functools.partial(jax.jit, static_argnums=(0, 1, 3))
+    def sample(self, dim: int, index: jnp.ndarray,
+               index_bits: int = 32) -> jnp.ndarray:
+        """QMC sample for static dimension ``dim`` at uint32 ``index``.
+
+        ``index_bits``: static promise that every index < 2**index_bits —
+        lets the arithmetic path skip digits that are provably zero.  The
+        result is bit-identical for any valid bound.
+        """
+        if not (0 <= dim < MAX_QMC_DIMS):
+            raise ValueError(
+                f"dim {dim} outside QMC range [0,{MAX_QMC_DIMS}); "
+                "use the PRNG fallback for deeper dims")
+        index = index.astype(jnp.uint32)
+        if dim == 0:
+            return halton2(index)
+        p = PRIMES[dim]
+        if p <= ARITH_MAX_PRIME:
+            return self._sample_arith(p, index, index_bits)
+        return self._sample_table(p, index)
 
 
 def _halton3_inverse_host(index: int, digits: int) -> int:

@@ -272,7 +272,8 @@ class SceneBuilder:
                         grid=jnp.asarray(grid, f))
 
         all_opaque = bool(np.all((mats[:, 3] >= 1.0) | (mats[:, 4] != 1.0)))
-        return T.Scene(all_opaque=all_opaque,
+        has_img = any(t.kind == T.TEX_IMAGE for t in (self._tex or []))
+        return T.Scene(all_opaque=all_opaque, has_image_tex=has_img,
                        tris=tris, spheres=spheres, cones=cones, lights=lights,
                        materials=materials, textures=textures, bvh=bvh,
                        fog=fog,

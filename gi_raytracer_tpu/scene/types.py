@@ -185,6 +185,9 @@ class Scene:
     # only matters when ior == 1, raytracer.h:455,297) — lets the Pallas
     # kernel skip the per-candidate hash entirely
     all_opaque: bool = struct.field(pytree_node=False, default=False)
+    # static: any TEX_IMAGE textures present — lets shading skip the texel
+    # atlas gather entirely on const/checker-only scenes
+    has_image_tex: bool = struct.field(pytree_node=False, default=True)
 
     # camera & per-scene render settings are carried by the loader, not here
 
