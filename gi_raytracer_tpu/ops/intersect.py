@@ -235,6 +235,11 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
 
     if scene.n_tris:  # cone/sphere-only scenes have no BVH to traverse
         st = jax.lax.while_loop(cond, body, st)
+        # while_loop is not reverse-differentiable: detach the traversal
+        # outputs (callers needing gradients to triangle vertices recompute
+        # the winner's exact (t,u,v) outside — see trace_closest_rows)
+        st = St(st.node, jax.lax.stop_gradient(st.t), st.prim,
+                jax.lax.stop_gradient(st.u), jax.lax.stop_gradient(st.v))
 
     # dense sphere pass (few spheres; outside the BVH)
     if scene.n_spheres:
@@ -400,6 +405,69 @@ def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
         return run(ro, rd, act, rid0, *(() if t_max is None else (t_max,)))
     return closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
                        active=active)
+
+
+def trace_closest_rows(scene: Scene, rows, ro, rd, t_max=None, salt=0,
+                       eps=1e-5, active=None, backend: str = "auto",
+                       compact: bool = False):
+    """Closest hit PLUS the winner's packed shade row — one wide gather.
+
+    ``rows`` is shading.build_prim_rows(scene): a (T+S+C, PR_W) table that
+    carries exact-MT geometry, normals, uvs, material scalars and texture
+    descriptors per primitive.  On the Pallas path the exact (t, u, v)
+    recompute reads its v0/e1/e2 straight from the gathered row, so the
+    whole per-bounce attribute cost is ONE (R, PR_W) gather (plus a second
+    one only when a sphere/cone pass can change the winner).
+    Returns (Hit, row (R, PR_W)).
+    """
+    P = rows.shape[0]
+
+    def final_row(prim):
+        return rows[jnp.clip(prim, 0, P - 1)]
+
+    if use_pallas(scene, backend):
+        from .pallas_intersect import pallas_prim_query
+
+        R = ro.shape[0]
+        rid0 = jnp.arange(R, dtype=jnp.int32)
+
+        def run(ro_, rd_, act_, rid_, *tm):
+            tm_ = tm[0] if tm else None
+            _, prim = pallas_prim_query(scene, ro_, rd_, t_max=tm_,
+                                        salt=salt, eps=eps, active=act_,
+                                        ray_id=rid_)
+            row = final_row(prim)
+            t, u, v, ok = ray_triangle(ro_, rd_, row[:, 0:3], row[:, 3:6],
+                                       row[:, 6:9], eps)
+            m = (prim >= 0) & ok
+            hit = Hit(jnp.where(m, t, jnp.inf), jnp.where(m, prim, -1),
+                      jnp.where(m, u, 0.0), jnp.where(m, v, 0.0))
+            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tm_)
+            hit = _cone_pass(scene, ro_, rd_, hit, salt, act_, tm_)
+            if scene.n_spheres or scene.n_cones:
+                row = final_row(hit.prim)
+            return hit, row
+
+        if compact and active is not None:
+            extra = () if t_max is None else (
+                jnp.broadcast_to(t_max, (R,)).astype(ro.dtype),)
+            return _compacted(run, ro, rd, active, rid0, *extra)
+        act = (active if active is not None else jnp.ones((R,), bool))
+        return run(ro, rd, act, rid0, *(() if t_max is None else (t_max,)))
+
+    hit = closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
+                      active=active)
+    row = final_row(hit.prim)
+    if scene.n_tris:
+        # recompute triangle-lane (t,u,v) differentiably from the row
+        # (the BVH while_loop outputs are detached)
+        is_tri = (hit.prim >= 0) & (hit.prim < scene.n_tris)
+        t, u, v, ok = ray_triangle(ro, rd, row[:, 0:3], row[:, 3:6],
+                                   row[:, 6:9], eps)
+        m = is_tri & ok
+        hit = Hit(jnp.where(m, t, hit.t), hit.prim,
+                  jnp.where(m, u, hit.u), jnp.where(m, v, hit.v))
+    return hit, row
 
 
 def trace_any(scene: Scene, ro, rd, t_limit, salt=0, eps=1e-5,

@@ -1,32 +1,36 @@
-"""Pallas TPU intersection kernels: ordered dense-chunk ray-triangle testing.
+"""Pallas TPU intersection kernel: entry-ordered dense-chunk ray-tri testing.
 
 Why not a BVH walk on TPU?  Per-lane pointer chasing compiles to huge gather
 chains (measured ~23µs/ray on v5e — HBM gathers dominate).  The TPU-native
 shape of this problem is *dense tiles*: triangles are spatially sorted (BVH
 leaf order) and split into chunks of 128; rays are processed in tiles of
-256.  Each (ray-tile x chunk) step is pure VPU math on (256, 128) registers.
+RAY_TILE.  Each (ray-tile x chunk) step is pure VPU math on (RT, 128)
+registers.
 
 The brute-force version of that design is VPU-roofline-bound (~42 ops per
-ray-triangle test; measured ~95% of v5e VPU throughput), so all further
-speed comes from *not testing chunks*.  Three collective culls recover
-BVH-style pruning without any per-ray control flow:
+ray-triangle test), so all further speed comes from *not testing chunks*.
+v2 design (replacing the v1 in-kernel distance heuristics, which spent
+~25µs/grid-step on scalar reductions):
 
-1. **near-to-far chunk ordering**: per ray tile, chunks are visited in
-   order of distance from the tile's (active-ray) origin centroid — a tiny
-   (n_tiles, n_chunks) argsort OUTSIDE the kernel.  Nearby geometry is
-   tested first, so hits arrive early;
-2. **collective t-shrink**: after each tested chunk the tile's traversal
-   cap becomes  t_cap = max over active rays of min(best_t, t_lim)  — once
-   every ray has a hit, the cap collapses to the farthest hit so far;
-3. **distance lower-bound cull**: a chunk whose AABB is farther than t_cap
-   from the tile's origin AABB (per-axis gap distance) can't improve any
-   ray and is skipped; a swept-reach AABB overlap test (origins + t_cap *
-   direction extents) handles the directed case.
+1. **per-ray slab cull, OUTSIDE the kernel**: a vectorized (R, n_chunks)
+   ray-vs-chunk-AABB slab test computes, per (ray tile, chunk), the minimum
+   entry distance over the tile's active rays (inf if no ray enters within
+   its t limit).  This is ordinary fused XLA — microseconds — and is *sharp*:
+   a tile whose frustum misses a chunk never tests it.
+2. **entry-sorted chunk order**: per tile, chunks are visited in ascending
+   min-entry order (a small (n_tiles, n_chunks) argsort outside the kernel).
+3. **collective t-shrink + sorted early exit, INSIDE the kernel**: the chunk
+   loop is a `lax.while_loop` whose condition is
+   ``entry[i] <= t_cap`` where ``t_cap = max over active rays of
+   min(best_t, t_lim)`` (refreshed every SHRINK_EVERY chunks).  Because the
+   entries are sorted, the first chunk that can't improve any ray ends the
+   loop — no per-chunk branching, no wasted scalar syncs.
 
 Together these give the reference's front-to-back octree early-out
 (reference include/raytracer.h:446-472, octree.cpp:285-313) its collective
 TPU equivalent: closed scenes test O(hit distance) chunks per tile instead
-of all of them.
+of all of them, and tiles whose rays miss clustered geometry skip it
+entirely.
 
 The Möller–Trumbore test (reference include/entities.h:443-490) is evaluated
 in its *separable triple-product form* so the per-(ray, tri) work is only
@@ -71,6 +75,8 @@ RAY_TILE = 256     # rays per grid step (sublane axis)
 TRI_CHUNK = 128    # triangles per inner step (lane axis)
 VMEM_TRI_CAP = 150_000  # beyond this the caller should use the jnp path
 ORDER_ROWS = 8     # SMEM block row granularity for the per-tile chunk order
+SHRINK_EVERY = 2   # chunks between collective t-cap refreshes
+PER_RAY_CULL_MAX_CHUNKS = 128  # per-ray slab cull up to this many chunks
 
 _BIG = 3.0e38
 _IMAX = 2147483647
@@ -86,16 +92,17 @@ def _mix32(h):
     return h
 
 
-def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
-            order_ref, feat_ref, cbox_ref, out_t_ref, prim_ref,
+def _kernel(salt_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
+            order_ref, entry_ref, cap0_ref, feat_ref, out_t_ref, prim_ref,
             *, n_chunks: int, any_hit: bool, eps: float, all_opaque: bool):
     """Grid: (n_ray_tiles,).  Refs:
-    salt_ref (1,1) i32 SMEM; diag_ref (1,1) f32 SMEM (scene diameter bound)
+    salt_ref (1,1) i32 SMEM
     ro/rd (RT,3) VMEM; tlim (RT,1); act (RT,1) f32 (1=active)
     rid (RT,1) i32 lane-invariant ray ids (alpha hash keys)
-    order_ref (ORDER_ROWS, ncp) i32 SMEM: per-tile near-to-far chunk order
+    order_ref (ORDER_ROWS, ncp) i32 SMEM: per-tile entry-sorted chunk order
+    entry_ref (ORDER_ROWS, ncp) f32 SMEM: sorted min entry distances
+    cap0_ref (ORDER_ROWS, 1) f32 SMEM: initial per-tile t cap
     feat_ref (17, T_pad): rows n2(3) e1(3) e2(3) f_u(3) f_v(3) d0 accept
-    cbox_ref (8, n_chunks_pad) SMEM: rows minx..maxz (2 pad)
     out_t_ref (RT, 1) f32 approx hit t; prim_ref (RT, 1) i32
     """
     RT = RAY_TILE
@@ -117,117 +124,95 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
     cxy = oz * dx - ox * dz
     cxz = ox * dy - oy * dx
 
-    # tile extents over ACTIVE rays only (dead tiles collapse to nothing)
-    diag = diag_ref[0, 0]
-    o_min = [jnp.min(jnp.where(act, o, big)) for o in (ox, oy, oz)]
-    o_max = [jnp.max(jnp.where(act, o, -big)) for o in (ox, oy, oz)]
-    d_min = [jnp.min(jnp.where(act, d, 0.0)) for d in (dx, dy, dz)]
-    d_max = [jnp.max(jnp.where(act, d, 0.0)) for d in (dx, dy, dz)]
-
-    t_cap0 = jnp.minimum(jnp.max(jnp.where(act, jnp.minimum(t_lim, diag),
-                                           -big)), diag)
-    t_cap0 = jnp.maximum(t_cap0, 0.0)
-
     row = pl.program_id(0) % ORDER_ROWS
     rid = jnp.broadcast_to(rid_ref[:, 0:1], (RT, CK)).astype(jnp.uint32)
     salt = salt_ref[0, 0].astype(jnp.uint32)
     eps_h = jnp.float32(eps)
+    t_cap0 = cap0_ref[row, 0]
 
-    def chunk_body(ci, carry):
-        # carry: per-LANE best (RT, CK) — lane k tracks the best hit among
-        # triangles with in-chunk index k; ONE cross-lane reduction happens
-        # after the loop instead of two per chunk.
-        best_t, best_c, t_cap = carry
-        c = order_ref[row, ci]
-        cxlo = cbox_ref[0, c]
-        cylo = cbox_ref[1, c]
-        czlo = cbox_ref[2, c]
-        cxhi = cbox_ref[3, c]
-        cyhi = cbox_ref[4, c]
-        czhi = cbox_ref[5, c]
-        # (3) distance lower bound: tile origin box -> chunk box
-        gx = jnp.maximum(jnp.maximum(cxlo - o_max[0], o_min[0] - cxhi), 0.0)
-        gy = jnp.maximum(jnp.maximum(cylo - o_max[1], o_min[1] - cyhi), 0.0)
-        gz = jnp.maximum(jnp.maximum(czlo - o_max[2], o_min[2] - czhi), 0.0)
-        lb2 = gx * gx + gy * gy + gz * gz
-        # swept reach of this ray tile under the current t_cap
-        overlap = lb2 <= t_cap * t_cap
-        for i, (clo, chi) in enumerate(((cxlo, cxhi), (cylo, cyhi),
-                                        (czlo, czhi))):
-            rlo = o_min[i] + t_cap * jnp.minimum(d_min[i], 0.0)
-            rhi = o_max[i] + t_cap * jnp.maximum(d_max[i], 0.0)
-            overlap = overlap & (clo <= rhi) & (chi >= rlo)
+    def tested(i, best_t, best_c, t_cap):
+        c = order_ref[row, i]
+        sl = pl.ds(c * CK, CK)
+        n2x = feat_ref[0, sl].reshape(1, CK)
+        n2y = feat_ref[1, sl].reshape(1, CK)
+        n2z = feat_ref[2, sl].reshape(1, CK)
+        e1x = feat_ref[3, sl].reshape(1, CK)
+        e1y = feat_ref[4, sl].reshape(1, CK)
+        e1z = feat_ref[5, sl].reshape(1, CK)
+        e2x = feat_ref[6, sl].reshape(1, CK)
+        e2y = feat_ref[7, sl].reshape(1, CK)
+        e2z = feat_ref[8, sl].reshape(1, CK)
+        fux = feat_ref[9, sl].reshape(1, CK)
+        fuy = feat_ref[10, sl].reshape(1, CK)
+        fuz = feat_ref[11, sl].reshape(1, CK)
+        fvx = feat_ref[12, sl].reshape(1, CK)
+        fvy = feat_ref[13, sl].reshape(1, CK)
+        fvz = feat_ref[14, sl].reshape(1, CK)
+        d0 = feat_ref[15, sl].reshape(1, CK)
+
+        m = dx * n2x + dy * n2y + dz * n2z          # rd·n2 = -det
+        sm = jnp.where(m >= 0.0, 1.0, -1.0)
+        ds = m * sm                                  # |det|
+        ns = -sm                                     # sign(det)
+        u_num = ((cxx * e2x + cxy * e2y + cxz * e2z)
+                 + (dx * fux + dy * fuy + dz * fuz))
+        v_sum = ((cxx * e1x + cxy * e1y + cxz * e1z)
+                 + (dx * fvx + dy * fvy + dz * fvz))  # = -v_num
+        t_num = (ox * n2x + oy * n2y + oz * n2z) - d0
+        us = u_num * ns
+        vs = v_sum * sm
+        ts = t_num * ns
+        ok = ((ds >= eps_h) & (us >= 0.0) & (vs >= 0.0)
+              & (us + vs <= ds) & (ts > 0.0))
+        tc = ts * pl.reciprocal(jnp.maximum(ds, 1e-30), approx=True)
+        ok &= (tc < t_eff) & (tc < best_t)  # t_eff = -inf on dead lanes
+
+        if not all_opaque:
+            # stochastic alpha (raytracer.h:455): hash(ray, prim, salt)
+            accept = feat_ref[16, sl].reshape(1, CK)
+            prim_g = (c.astype(jnp.uint32) * jnp.uint32(CK)
+                      + jax.lax.broadcasted_iota(jnp.uint32, (RT, CK), 1))
+            h = _mix32(rid * jnp.uint32(0x9E3779B9)
+                       ^ _mix32(prim_g + jnp.uint32(0x7F4A7C15) ^ salt))
+            # Mosaic lacks uint32->f32; use the top 24 bits via int32
+            uni = ((h >> 8).astype(jnp.int32).astype(jnp.float32)
+                   * jnp.float32(5.960464477539063e-08))
+            ok &= (uni < accept) | (accept >= 1.0)
+
+        tt = jnp.where(ok, tc, big)
+        better = tt < best_t
+        best_t = jnp.where(better, tt, best_t)
+        best_c = jnp.where(better, jnp.int32(c), best_c)
+        return best_t, best_c, t_cap
+
+    def shrink(best_t, t_lim_k):
+        # collective t-cap: the farthest any active ray still needs to look
+        per_ray = jnp.min(best_t, axis=1, keepdims=True)
         if any_hit:
-            # stop testing once every active lane is resolved
-            unresolved = jnp.any(act & jnp.all(best_c < 0, axis=1,
-                                               keepdims=True))
-            overlap = overlap & unresolved
+            # a lane with ANY accepted hit is resolved and stops needing
+            # traversal entirely
+            need = act & (per_ray >= big)
+            return jnp.max(jnp.where(need, t_lim_k, -big))
+        return jnp.max(jnp.where(act, jnp.minimum(per_ray, t_lim_k), -big))
 
-        def tested(carry):
-            best_t, best_c, t_cap = carry
-            sl = pl.ds(c * CK, CK)
-            n2x = feat_ref[0, sl].reshape(1, CK)
-            n2y = feat_ref[1, sl].reshape(1, CK)
-            n2z = feat_ref[2, sl].reshape(1, CK)
-            e1x = feat_ref[3, sl].reshape(1, CK)
-            e1y = feat_ref[4, sl].reshape(1, CK)
-            e1z = feat_ref[5, sl].reshape(1, CK)
-            e2x = feat_ref[6, sl].reshape(1, CK)
-            e2y = feat_ref[7, sl].reshape(1, CK)
-            e2z = feat_ref[8, sl].reshape(1, CK)
-            fux = feat_ref[9, sl].reshape(1, CK)
-            fuy = feat_ref[10, sl].reshape(1, CK)
-            fuz = feat_ref[11, sl].reshape(1, CK)
-            fvx = feat_ref[12, sl].reshape(1, CK)
-            fvy = feat_ref[13, sl].reshape(1, CK)
-            fvz = feat_ref[14, sl].reshape(1, CK)
-            d0 = feat_ref[15, sl].reshape(1, CK)
+    def cond(carry):
+        i, best_t, best_c, t_cap = carry
+        return (i < n_chunks) & (entry_ref[row, i] <= t_cap)
 
-            m = dx * n2x + dy * n2y + dz * n2z          # rd·n2 = -det
-            sm = jnp.where(m >= 0.0, 1.0, -1.0)
-            ds = m * sm                                  # |det|
-            ns = -sm                                     # sign(det)
-            u_num = ((cxx * e2x + cxy * e2y + cxz * e2z)
-                     + (dx * fux + dy * fuy + dz * fuz))
-            v_sum = ((cxx * e1x + cxy * e1y + cxz * e1z)
-                     + (dx * fvx + dy * fvy + dz * fvz))  # = -v_num
-            t_num = (ox * n2x + oy * n2y + oz * n2z) - d0
-            us = u_num * ns
-            vs = v_sum * sm
-            ts = t_num * ns
-            ok = ((ds >= eps_h) & (us >= 0.0) & (vs >= 0.0)
-                  & (us + vs <= ds) & (ts > 0.0))
-            tc = ts * pl.reciprocal(jnp.maximum(ds, 1e-30), approx=True)
-            ok &= (tc < t_eff) & (tc < best_t)  # t_eff = -inf on dead lanes
+    def body(carry):
+        i, best_t, best_c, t_cap = carry
+        best_t, best_c, t_cap = tested(i, best_t, best_c, t_cap)
+        new_cap = jax.lax.cond(
+            (i % SHRINK_EVERY) == (SHRINK_EVERY - 1),
+            lambda: jnp.minimum(t_cap, shrink(best_t, t_lim)),
+            lambda: t_cap)
+        return i + 1, best_t, best_c, new_cap
 
-            if not all_opaque:
-                # stochastic alpha (raytracer.h:455): hash(ray, prim, salt)
-                accept = feat_ref[16, sl].reshape(1, CK)
-                prim_g = (jnp.uint32(c * CK)
-                          + jax.lax.broadcasted_iota(jnp.uint32, (RT, CK), 1))
-                h = _mix32(rid * jnp.uint32(0x9E3779B9)
-                           ^ _mix32(prim_g + jnp.uint32(0x7F4A7C15) ^ salt))
-                # Mosaic lacks uint32->f32; use the top 24 bits via int32
-                uni = ((h >> 8).astype(jnp.int32).astype(jnp.float32)
-                       * jnp.float32(5.960464477539063e-08))
-                ok &= (uni < accept) | (accept >= 1.0)
-
-            tt = jnp.where(ok, tc, big)
-            better = tt < best_t
-            best_t = jnp.where(better, tt, best_t)
-            best_c = jnp.where(better, jnp.int32(c), best_c)
-            # (2) collective t-shrink
-            per_ray = jnp.min(best_t, axis=1, keepdims=True)
-            cap = jnp.max(jnp.where(act, jnp.minimum(per_ray, t_lim), -big))
-            t_cap = jnp.maximum(jnp.minimum(t_cap, cap), 0.0)
-            return best_t, best_c, t_cap
-
-        return jax.lax.cond(overlap, tested, lambda cr: cr,
-                            (best_t, best_c, t_cap))
-
-    init = (jnp.full((RT, CK), big, jnp.float32),
-            jnp.full((RT, CK), -1, jnp.int32), t_cap0)
-    best_t, best_c, _ = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+    init = (jnp.int32(0),
+            jnp.full((RT, CK), big, jnp.float32),
+            jnp.full((RT, CK), -1, jnp.int32),
+            t_cap0)
+    _, best_t, best_c, _ = jax.lax.while_loop(cond, body, init)
 
     # single cross-lane reduction: global best t + owning lane -> prim id
     tmin = jnp.min(best_t, axis=1, keepdims=True)                # (RT,1)
@@ -240,25 +225,80 @@ def _kernel(salt_ref, diag_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
                                  jnp.int32(-1), pmin)
 
 
+def _chunk_cull(cbox, ro, rd, t_eff, active, n_chunks, diag):
+    """Per-(tile, chunk) minimum entry distance, OUTSIDE the kernel.
+
+    cbox (8, nCp): rows minx..maxz.  Returns (n_tiles, n_chunks) f32 with
+    inf where no active ray in the tile enters the chunk AABB within its
+    t limit — the TPU-collective replacement for per-ray octree descent.
+    """
+    n_tiles = ro.shape[0] // RAY_TILE
+    lo = cbox[0:3, :n_chunks].T                      # (nC, 3)
+    hi = cbox[3:6, :n_chunks].T
+    big = jnp.float32(_BIG)
+
+    if n_chunks <= PER_RAY_CULL_MAX_CHUNKS:
+        # sharp per-ray slab test, reduced per tile
+        tiny = 1e-12
+        safe_d = jnp.where(jnp.abs(rd) < tiny,
+                           jnp.where(rd < 0, -tiny, tiny), rd)
+        inv_d = 1.0 / safe_d                          # (R, 3)
+        ta = (lo[None] - ro[:, None]) * inv_d[:, None]   # (R, nC, 3)
+        tb = (hi[None] - ro[:, None]) * inv_d[:, None]
+        tn = jnp.max(jnp.minimum(ta, tb), -1)
+        tf = jnp.min(jnp.maximum(ta, tb), -1)
+        ent = jnp.maximum(tn, 0.0)
+        ok = (tf >= ent) & (ent < t_eff[:, None]) & active[:, None]
+        score = jnp.where(ok, ent, big)
+        return jnp.min(score.reshape(n_tiles, RAY_TILE, n_chunks), axis=1)
+
+    # conservative per-tile interval test (big scenes): tile origin/direction
+    # AABBs swept to the tile's max t limit
+    om = ro.reshape(n_tiles, RAY_TILE, 3)
+    dm = rd.reshape(n_tiles, RAY_TILE, 3)
+    am = active.reshape(n_tiles, RAY_TILE, 1)
+    o_lo = jnp.min(jnp.where(am, om, big), axis=1)       # (nT, 3)
+    o_hi = jnp.max(jnp.where(am, om, -big), axis=1)
+    d_lo = jnp.min(jnp.where(am, dm, 0.0), axis=1)
+    d_hi = jnp.max(jnp.where(am, dm, 0.0), axis=1)
+    t_cap = jnp.max(jnp.where(active, t_eff, -big).reshape(
+        n_tiles, RAY_TILE), axis=1)                      # (nT,)
+    t_cap = jnp.clip(t_cap, 0.0, diag)
+    # reach overlap: chunk box vs [o_lo + t*min(d,0), o_hi + t*max(d,0)]
+    r_lo = o_lo + t_cap[:, None] * jnp.minimum(d_lo, 0.0)   # (nT, 3)
+    r_hi = o_hi + t_cap[:, None] * jnp.maximum(d_hi, 0.0)
+    overlap = jnp.all((lo[None] <= r_hi[:, None]) &
+                      (hi[None] >= r_lo[:, None]), axis=-1)  # (nT, nC)
+    # entry lower bound: axis gap / max speed
+    gap = jnp.maximum(jnp.maximum(lo[None] - o_hi[:, None],
+                                  o_lo[:, None] - hi[None]), 0.0)
+    ent = jnp.sqrt(jnp.sum(gap * gap, axis=-1))           # (nT, nC) euclid lb
+    return jnp.where(overlap & (ent <= t_cap[:, None]), ent, big)
+
+
 @functools.partial(jax.jit, static_argnames=("any_hit", "eps", "all_opaque",
                                               "interpret"))
-def _dense_trace(feat, cbox, ccent, ro, rd, t_lim, active, rid, salt, diag,
+def _dense_trace(feat, cbox, ro, rd, t_lim, active, rid, salt, diag,
                  any_hit=False, eps=1e-5, all_opaque=False, interpret=False):
-    """feat (17, T_pad), cbox (8, n_chunks_pad), ccent (n_chunks, 3) host
-    chunk centroids, rays (R,3) padded to RAY_TILE multiple.
-    Returns (t_approx (R,), prim (R,))."""
+    """feat (17, T_pad), cbox (8, n_chunks_pad), rays (R,3) padded to
+    RAY_TILE multiple.  Returns (t_approx (R,), prim (R,))."""
     R = ro.shape[0]
     n_tiles = R // RAY_TILE
     n_chunks = feat.shape[1] // TRI_CHUNK
     ncp = -(-n_chunks // 128) * 128
+    rpad = (-n_tiles) % ORDER_ROWS
 
-    # (1) near-to-far chunk order per tile, from active-ray origin centroids
-    w = active.reshape(n_tiles, RAY_TILE, 1)
-    cw = jnp.maximum(jnp.sum(w, axis=1), 1.0)
-    cent = jnp.sum(ro.reshape(n_tiles, RAY_TILE, 3) * w, axis=1) / cw
-    d2 = jnp.sum((cent[:, None, :] - ccent[None]) ** 2, -1)  # (nT, nC)
-    order = jnp.argsort(d2, axis=1).astype(jnp.int32)
-    order = jnp.pad(order, ((0, (-n_tiles) % ORDER_ROWS), (0, ncp - n_chunks)))
+    act_b = active[:, 0] > 0.5
+    t_eff = jnp.minimum(t_lim[:, 0], diag)
+    score = _chunk_cull(cbox, ro, rd, t_eff, act_b, n_chunks, diag)
+    order = jnp.argsort(score, axis=1).astype(jnp.int32)
+    entry = jnp.take_along_axis(score, order, axis=1)
+    order = jnp.pad(order, ((0, rpad), (0, ncp - n_chunks)))
+    entry = jnp.pad(entry, ((0, rpad), (0, ncp - n_chunks)),
+                    constant_values=_BIG)
+    cap0 = jnp.max(jnp.where(act_b, jnp.clip(t_eff, 0.0, diag), -_BIG)
+                   .reshape(n_tiles, RAY_TILE), axis=1, keepdims=True)
+    cap0 = jnp.pad(cap0, ((0, rpad), (0, 0)), constant_values=-_BIG)
 
     kernel = functools.partial(_kernel, n_chunks=n_chunks,
                                any_hit=any_hit, eps=eps,
@@ -268,7 +308,6 @@ def _dense_trace(feat, cbox, ccent, ro, rd, t_lim, active, rid, salt, diag,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0),
@@ -279,16 +318,17 @@ def _dense_trace(feat, cbox, ccent, ro, rd, t_lim, active, rid, salt, diag,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # per-tile chunk order: scalar reads need SMEM; SMEM block rows
-            # must be 8-aligned, so tiles share 8-row blocks (row = tile % 8)
+            # per-tile chunk order + sorted entries: scalar reads need SMEM;
+            # SMEM block rows must be 8-aligned, so tiles share 8-row blocks
+            # (row = tile % 8)
             pl.BlockSpec((ORDER_ROWS, ncp), lambda i: (i // ORDER_ROWS, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ORDER_ROWS, ncp), lambda i: (i // ORDER_ROWS, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ORDER_ROWS, 1), lambda i: (i // ORDER_ROWS, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(feat.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            # chunk bboxes are read as scalars with a dynamic chunk index —
-            # that requires SMEM (VMEM vector loads need static lane offsets)
-            pl.BlockSpec(cbox.shape, lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
@@ -301,16 +341,15 @@ def _dense_trace(feat, cbox, ccent, ro, rd, t_lim, active, rid, salt, diag,
             jax.ShapeDtypeStruct((R, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(salt, diag, ro, rd, t_lim, active, rid, order, feat, cbox)
+    )(salt, ro, rd, t_lim, active, rid, order, entry, cap0, feat)
     return out_t[:, 0], prim[:, 0]
 
 
 def build_tri_features(scene):
     """(17, T_pad) separable-MT feature SoA + (8, n_chunks_pad) chunk bboxes
-    + (n_chunks, 3) chunk centroids from the (BVH-leaf-ordered) scene
-    triangle arrays.  jnp; cheap; jit-safe; differentiable into scene.tris
-    (only used for the winner's exact recompute — the kernel consumes it as
-    data)."""
+    from the (BVH-leaf-ordered) scene triangle arrays.  jnp; cheap;
+    jit-safe; differentiable into scene.tris (only used for the winner's
+    exact recompute — the kernel consumes it as data)."""
     tr = scene.tris
     T = tr.v0.shape[0]
     pad = (-T) % TRI_CHUNK
@@ -363,8 +402,7 @@ def build_tri_features(scene):
     rows.append(jnp.zeros(nC, f32))
     rows.append(jnp.zeros(nC, f32))
     cbox = jnp.stack(rows)  # (8, nC)
-    ccent = 0.5 * (cbox[:3] + cbox[3:6]).T  # (nC, 3)
-    return feat, cbox, ccent
+    return feat, cbox
 
 
 def _exact_hit(scene, ro, rd, prim, eps):
@@ -383,19 +421,11 @@ def _exact_hit(scene, ro, rd, prim, eps):
             jnp.where(m, v, 0.0), jnp.where(m, prim, -1))
 
 
-def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
-                       active=None, ray_id=None, any_hit=False,
-                       interpret=False, differentiable=True):
-    """Drop-in closest-hit/any-hit over the Pallas dense kernel.
-    Returns the same Hit tuple as ops.intersect.closest_hit (triangles
-    only — the caller layers the dense sphere/cone passes on top).
-    hit.t/u/v carry gradients to scene.tris and rays because the exact
-    values are recomputed outside the kernel from the winning prim.
-    ``ray_id``: lane-invariant ids for the alpha hash (defaults to the
-    dispatch slot; compaction callers must pass the original lane ids)."""
-    from .intersect import Hit
-
-    del differentiable  # always differentiable now (exact recompute path)
+def pallas_prim_query(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
+                      active=None, ray_id=None, any_hit=False,
+                      interpret=False):
+    """Raw kernel query: (approx_t (R,), prim (R,)) for the winning
+    triangle per ray (-1 = miss).  Exact values are the caller's job."""
     R = ro.shape[0]
     dt = jnp.float32
     pad = (-R) % RAY_TILE
@@ -414,26 +444,44 @@ def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
         ray_id = jnp.arange(R, dtype=jnp.int32)
     ridp = jnp.pad(ray_id.astype(jnp.int32)[:, None], ((0, pad), (0, 0)))
 
-    feat, cbox, ccent = build_tri_features(scene)
+    feat, cbox = build_tri_features(scene)
     feat = jax.lax.stop_gradient(feat)
     cbox = jax.lax.stop_gradient(cbox)
-    ccent = jax.lax.stop_gradient(ccent)
     diag = jnp.linalg.norm(jax.lax.stop_gradient(
         (scene.world_max - scene.world_min).astype(dt))) * 1.001
     salt_arr = jnp.asarray(salt, jnp.int32).reshape(1, 1)
-    diag_arr = diag.reshape(1, 1)
 
-    tk, prim = _dense_trace(feat, cbox, ccent, rop, rdp, tl, ac, ridp,
-                            salt_arr, diag_arr,
+    tk, prim = _dense_trace(feat, cbox, rop, rdp, tl, ac, ridp,
+                            salt_arr, diag,
                             any_hit=any_hit, eps=eps,
                             all_opaque=scene.all_opaque,
                             interpret=interpret)
-    prim = jax.lax.stop_gradient(prim[:R])
+    return (jax.lax.stop_gradient(tk[:R]),
+            jax.lax.stop_gradient(prim[:R]))
+
+
+def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
+                       active=None, ray_id=None, any_hit=False,
+                       interpret=False, differentiable=True):
+    """Drop-in closest-hit/any-hit over the Pallas dense kernel.
+    Returns the same Hit tuple as ops.intersect.closest_hit (triangles
+    only — the caller layers the dense sphere/cone passes on top).
+    hit.t/u/v carry gradients to scene.tris and rays because the exact
+    values are recomputed outside the kernel from the winning prim.
+    ``ray_id``: lane-invariant ids for the alpha hash (defaults to the
+    dispatch slot; compaction callers must pass the original lane ids)."""
+    from .intersect import Hit
+
+    del differentiable  # always differentiable now (exact recompute path)
+    tk, prim = pallas_prim_query(scene, ro, rd, t_max=t_max, salt=salt,
+                                 eps=eps, active=active, ray_id=ray_id,
+                                 any_hit=any_hit, interpret=interpret)
+    R = ro.shape[0]
     if any_hit:
         # occlusion only needs the accept decision; skip the exact pass
-        t = jnp.where(prim >= 0, tk[:R].astype(ro.dtype), jnp.inf)
+        t = jnp.where(prim >= 0, tk.astype(ro.dtype), jnp.inf)
         z = jnp.zeros((R,), ro.dtype)
-        return Hit(jax.lax.stop_gradient(t), prim, z, z)
+        return Hit(t, prim, z, z)
     t, u, v, prim = _exact_hit(scene, ro, rd, prim, eps)
     return Hit(t.astype(ro.dtype), prim,
                u.astype(ro.dtype), v.astype(ro.dtype))

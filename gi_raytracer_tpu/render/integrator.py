@@ -30,14 +30,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
-from ..ops.intersect import trace_closest, trace_any
+from ..ops.intersect import trace_closest, trace_closest_rows, trace_any
 from ..sampling.halton import HaltonSampler, HaltonEnum, MAX_QMC_DIMS
 from ..sampling.rng import Purpose, stream
 from ..scene.types import Scene
 from .camera import Camera, primary_rays
 from .geom import normalize, random_unit_vec, PI
-from .shading import (pack_shade_tables, hit_attributes_packed,
-                      material_lookup_packed, secondary_ray)
+from .shading import build_prim_rows, shade_from_rows, secondary_ray
 from .atmosphere import fog_override, fog_occludes
 
 
@@ -104,7 +103,9 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
     dt = ro.dtype
     D = cfg.max_depth
     ambient = jnp.asarray(cfg.ambient, dt)
-    pack = pack_shade_tables(scene)
+    # one wide shade-row table: all per-prim attribute fetches collapse to a
+    # single (R, PR_W) gather per bounce (loop-invariant, hoisted by XLA)
+    rows = build_prim_rows(scene)
 
     state = PathState(
         ro=ro, rd=rd,
@@ -116,26 +117,39 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         n_shadow=jnp.zeros((), jnp.int32),
     )
 
+    # per-bounce decision uniforms: counter-hash keyed on (lane, purpose,
+    # wave+depth salt) — deterministic like the threefry streams it replaces
+    # (same role as drand(), raytracer.h:265,497,604) but ~10x cheaper per
+    # bounce at 262k lanes
+    lane_u32 = jnp.arange(R, dtype=jnp.uint32)
+
+    def _u(purpose, salt):
+        from ..sampling.rng import hash_u01
+        return hash_u01(lane_u32, jnp.uint32(int(purpose)), salt).astype(dt)
+
     def body(st: PathState, xs):
         depth, sx, sy = xs
         salt = (jnp.asarray(wave_salt).astype(jnp.uint32)
                 + depth.astype(jnp.uint32) * jnp.uint32(31337))
-        kb = jax.random.fold_in(key, depth)
-        n_uni = 4 + 2 * scene.lights.count
-        uni = jax.random.uniform(kb, (n_uni, R), dt)
-        u_rr, u_op, u_fs = uni[0], uni[1], uni[2]
-        u_light = uni[4:]
+        u_rr = _u(Purpose.RUSSIAN_ROULETTE, salt)
+        u_op = _u(Purpose.RAY_TYPE_OPACITY, salt)
+        u_fs = _u(Purpose.RAY_TYPE_FRESNEL, salt)
+        u_light = jnp.stack(
+            [_u(int(Purpose.LIGHT_POINT_X) + 16 * li + axis, salt)
+             for li in range(scene.lights.count) for axis in range(2)]) \
+            if scene.lights.count else jnp.zeros((0, R), dt)
 
-        hit = trace_closest(scene, st.ro, st.rd, salt=salt, eps=cfg.epsilon,
-                            active=st.alive, backend=cfg.intersect_backend,
-                            compact=cfg.compact_wavefront)
-        attrs = hit_attributes_packed(scene, pack, st.ro, st.rd, hit.t,
-                                      hit.prim, hit.u, hit.v)
-        color, em, alpha, rough, ior = material_lookup_packed(
-            scene, pack, attrs.mat_id, attrs.uv)
-        sec = secondary_ray(st.rd, attrs.normal, color, alpha, rough, ior,
+        hit, row = trace_closest_rows(scene, rows, st.ro, st.rd, salt=salt,
+                                      eps=cfg.epsilon, active=st.alive,
+                                      backend=cfg.intersect_backend,
+                                      compact=cfg.compact_wavefront)
+        sh = shade_from_rows(scene, row, st.ro, st.rd, hit.t, hit.prim,
+                             hit.u, hit.v)
+        color, em, alpha, rough, ior = (sh.color, sh.emissive, sh.alpha,
+                                        sh.rough, sh.ior)
+        sec = secondary_ray(st.rd, sh.normal, color, alpha, rough, ior,
                             sx, sy, u_op, u_fs, st.contrib)
-        point, normal = attrs.point, sec.normal
+        point, normal = sh.point, sec.normal
         f, contrib, offset_sign = sec.f, sec.contrib, sec.offset_sign
         out_dir = sec.dir
 
@@ -145,7 +159,7 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
                 scene, cfg, st.ro, st.rd, hit.t, sx, sy, salt,
                 point, normal, out_dir, f, color, contrib, rough, offset_sign)
 
-        valid = st.alive & attrs.valid
+        valid = st.alive & sh.valid
         i_direct = _direct_light(scene, cfg, point, normal, rough,
                                  u_light, salt, active=valid)
 
@@ -167,7 +181,7 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
                               st.throughput * (color * i_direct), 0.0)
         lum = lum + jnp.where((valid & survive)[:, None],
                               st.throughput * (em + color * caustic), 0.0)
-        lum = lum + jnp.where((st.alive & ~attrs.valid)[:, None],
+        lum = lum + jnp.where((st.alive & ~sh.valid)[:, None],
                               st.throughput * ambient[None, :], 0.0)
 
         new_T = st.throughput * f * boost[:, None]
@@ -206,6 +220,16 @@ class Renderer:
         # from the device on every jit lowering (seconds over a TPU tunnel)
         import numpy as _np
         self._key = _np.asarray(jax.random.PRNGKey(config.seed))
+        # 16x16 pixel-block ray ordering: the Pallas trace culls chunks per
+        # 256-ray tile, so a tile should be a compact image block (a narrow
+        # frustum), not a 512-pixel half-row.  The permutation is applied to
+        # the host-side Halton offsets (free) and inverted once per wave.
+        B = 16
+        ids = _np.arange(height * width).reshape(height, width)
+        blocks = [ids[y:y + B, x:x + B].ravel()
+                  for y in range(0, height, B) for x in range(0, width, B)]
+        self._perm = _np.concatenate(blocks)
+        self._inv_perm = _np.argsort(self._perm).astype(_np.int32)
 
     def _bounce_samples(self, idx_flat):
         """(D, R) QMC/PRNG pairs for every bounce (raytracer.h:172-173)."""
@@ -226,18 +250,31 @@ class Renderer:
 
     def _wave_radiance(self, scene, photon_map, idx_flat, wave_i,
                        with_counts=False):
-        """One full-frame sample wave -> (H*W, 3) radiance (traceable)."""
+        """One full-frame sample wave -> (H*W, 3) radiance in RASTER order.
+
+        ``idx_flat`` is raster-order per-pixel Halton indices; rays are
+        traced in 16x16-block order (idx permuted host-side when static) and
+        the radiance is un-permuted before returning (one (R,3) gather)."""
+        import numpy as _np
         dt = jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
-        xr = self.sampler.sample(0, idx_flat, self._index_bits).astype(dt)
-        yr = self.sampler.sample(1, idx_flat, self._index_bits).astype(dt)
+        idx_blk = idx_flat[jnp.asarray(self._perm, jnp.int32)] \
+            if not isinstance(idx_flat, _np.ndarray) else idx_flat[self._perm]
+        idx_blk = jnp.asarray(idx_blk)
+        xr = self.sampler.sample(0, idx_blk, self._index_bits).astype(dt)
+        yr = self.sampler.sample(1, idx_blk, self._index_bits).astype(dt)
         dx = xr * self.enum.scale_x
         dy = yr * self.enum.scale_y
         ro, rd = primary_rays(self.camera, self.width, self.height, dx, dy)
-        sx_all, sy_all = self._bounce_samples(idx_flat)
+        sx_all, sy_all = self._bounce_samples(idx_blk)
         key = jax.random.fold_in(self._key, wave_i)
-        return radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
-                             key, wave_i * 65537, photon_map,
-                             with_counts=with_counts)
+        out = radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
+                            key, wave_i * 65537, photon_map,
+                            with_counts=with_counts)
+        inv = jnp.asarray(self._inv_perm)
+        if with_counts:
+            c, counts = out
+            return c[inv], counts
+        return out[inv]
 
     @functools.partial(jax.jit, static_argnums=0)
     def _wave(self, scene, photon_map, idx_flat, wave_i):

@@ -17,6 +17,216 @@ from .geom import (dot, normalize, reflect, refract_tir, hemisphere_cos,
 
 
 # --------------------------------------------------------------------------
+# packed prim shade rows (v2 fast path)
+#
+# Per-hit attribute fetches are random gathers; on TPU a gather's cost is
+# per-CALL (~2 ms at 262k lanes), nearly independent of row width.  So the
+# fastest shade path is ONE wide gather: everything a bounce needs about the
+# winning primitive — exact-MT geometry, normals, uvs, material scalars and
+# both texture descriptors — packed into a single (P, 64) row table.  The
+# table is built from the canonical Scene arrays inside the jitted render
+# (loop-invariant, hoisted by XLA) so gradients still flow to the canonical
+# leaves.  Sphere/cone rows reuse the geometry columns kind-dependently.
+# --------------------------------------------------------------------------
+
+# column layout
+PR_V0 = 0        # tri v0           | sphere/cone pos
+PR_E1 = 3        # tri e1           | sphere rad (col 3) | cone rad 3, h 4
+PR_E2 = 6        # tri e2
+PR_W2L = 5       # cone world->local rotation, row-major (cols 5:14)
+PR_N0, PR_N1, PR_N2 = 9, 12, 15
+PR_UV0, PR_UV1, PR_UV2 = 18, 20, 22
+PR_FACEN = 24
+PR_HASVN = 27
+PR_ROUGH, PR_OPAC, PR_IOR = 28, 29, 30
+PR_TEXD = 31     # diffuse texture descriptor (13 cols)
+PR_TEXE = 44     # emissive texture descriptor (13 cols)
+PR_W = 64
+# texture descriptor sub-layout (13):
+#   kind, offset, width, height, has_alpha, tile_u, tile_v, c0 c1 c2, d0 d1 d2
+
+
+def _tex_descriptor(tx: Textures, tid, dt):
+    """(N, 13) float descriptor rows for texture ids ``tid``."""
+    return jnp.concatenate([
+        tx.kind[tid, None].astype(dt),
+        tx.offset[tid, None].astype(dt),
+        tx.width[tid, None].astype(dt),
+        tx.height[tid, None].astype(dt),
+        tx.has_alpha[tid, None].astype(dt),
+        tx.tiles[tid].astype(dt),
+        tx.color[tid].astype(dt),
+        tx.color2[tid].astype(dt),
+    ], axis=1)
+
+
+def build_prim_rows(scene: Scene) -> jnp.ndarray:
+    """(T + S + C, PR_W) packed shade rows for every primitive."""
+    dt = scene.tris.v0.dtype if scene.n_tris else scene.materials.roughness.dtype
+    m = scene.materials
+    parts = []
+
+    def mat_cols(mat_id):
+        return jnp.concatenate([
+            m.roughness[mat_id, None].astype(dt),
+            m.opacity[mat_id, None].astype(dt),
+            m.ior[mat_id, None].astype(dt),
+            _tex_descriptor(scene.textures, m.diffuse_tex[mat_id], dt),
+            _tex_descriptor(scene.textures, m.emissive_tex[mat_id], dt),
+        ], axis=1)
+
+    if scene.n_tris:
+        tr = scene.tris
+        has_vn = ((jnp.sum(tr.n0 * tr.n0, -1) > 0)
+                  & (jnp.sum(tr.n1 * tr.n1, -1) > 0)
+                  & (jnp.sum(tr.n2 * tr.n2, -1) > 0))
+        geom = jnp.concatenate([
+            tr.v0, tr.e1, tr.e2, tr.n0, tr.n1, tr.n2,
+            tr.uv0, tr.uv1, tr.uv2, tr.face_n,
+            has_vn[:, None].astype(dt)], axis=1)
+        parts.append(jnp.concatenate([geom, mat_cols(tr.mat_id)], axis=1))
+    if scene.n_spheres:
+        sp = scene.spheres
+        S = sp.count
+        geom = jnp.concatenate([
+            sp.pos, sp.rad[:, None],
+            jnp.zeros((S, 24), dt)], axis=1)
+        parts.append(jnp.concatenate([geom, mat_cols(sp.mat_id)], axis=1))
+    if scene.n_cones:
+        cn = scene.cones
+        C = cn.count
+        geom = jnp.concatenate([
+            cn.pos, cn.rad[:, None], cn.height[:, None],
+            cn.w2l.reshape(C, 9),
+            jnp.zeros((C, 14), dt)], axis=1)
+        parts.append(jnp.concatenate([geom, mat_cols(cn.mat_id)], axis=1))
+    if not parts:
+        parts = [jnp.zeros((1, 57), dt)]
+    rows = jnp.concatenate(parts, axis=0)
+    return jnp.pad(rows, ((0, 0), (0, PR_W - rows.shape[1])))
+
+
+def _tex_eval_desc(scene: Scene, desc, u, v):
+    """(rgb (R,3), alpha (R,)) from gathered 13-col texture descriptors.
+    Same semantics as :func:`sample_texture` (material.h:39-78)."""
+    kind = desc[..., 0]
+    const_rgb = desc[..., 7:10]
+    color2 = desc[..., 10:13]
+    tlu, tlv = desc[..., 5], desc[..., 6]
+
+    iu = jnp.trunc(u * tlu)
+    iv = jnp.trunc(v * tlv)
+    even_u = jnp.abs(iu) % 2.0 < 0.5
+    even_v = jnp.abs(iv) % 2.0 < 0.5
+    checker_rgb = jnp.where((even_u ^ even_v)[..., None], const_rgb, color2)
+    rgb = jnp.where((kind == TEX_CHECKER)[..., None], checker_rgb, const_rgb)
+    alpha = jnp.ones_like(u)
+
+    if scene.has_image_tex:
+        w = desc[..., 2]
+        h = desc[..., 3]
+        wi = jnp.maximum(w.astype(jnp.int32), 1)
+        hi_ = jnp.maximum(h.astype(jnp.int32), 1)
+        xi = jnp.abs(jnp.trunc(u * w * tlu).astype(jnp.int32) % wi)
+        yi_raw = jnp.abs(jnp.trunc(v * h * tlv).astype(jnp.int32) % hi_)
+        yi = h.astype(jnp.int32) - yi_raw - 1
+        flat = desc[..., 1].astype(jnp.int32) + yi * w.astype(jnp.int32) + xi
+        flat = jnp.clip(flat, 0, scene.textures.atlas.shape[0] - 1)
+        texel = scene.textures.atlas[flat]
+        is_img = kind == TEX_IMAGE
+        rgb = jnp.where(is_img[..., None], texel[..., :3], rgb)
+        alpha = jnp.where(is_img & (desc[..., 4] > 0.5), texel[..., 3], alpha)
+    return rgb, alpha
+
+
+class ShadeResult(NamedTuple):
+    point: jnp.ndarray     # (R, 3)
+    normal: jnp.ndarray    # (R, 3) un-flipped shading normal
+    uv: jnp.ndarray        # (R, 2)
+    valid: jnp.ndarray     # (R,)
+    color: jnp.ndarray     # (R, 3) diffuse
+    emissive: jnp.ndarray  # (R, 3)
+    alpha: jnp.ndarray     # (R,)
+    rough: jnp.ndarray     # (R,)
+    ior: jnp.ndarray       # (R,)
+
+
+def shade_from_rows(scene: Scene, row, ro, rd, t, prim, bu, bv) -> ShadeResult:
+    """All per-hit shading inputs from ONE pre-gathered prim row.
+
+    ``row`` is prim_rows[clip(prim)] for the FINAL winning primitive.
+    Semantics match hit_attributes_uv + material_lookup (entities.h:480-487
+    interpolation gate; material.h:84-100)."""
+    valid = prim >= 0
+    t_safe = jnp.where(valid, t, 0.0)
+    point = ro + t_safe[:, None] * rd
+
+    # triangle attributes from the row
+    n0 = row[:, PR_N0:PR_N0 + 3]
+    n1 = row[:, PR_N1:PR_N1 + 3]
+    n2 = row[:, PR_N2:PR_N2 + 3]
+    has_vn = row[:, PR_HASVN] > 0.5
+    w0 = (1.0 - bu - bv)[:, None]
+    n_interp = w0 * n0 + bu[:, None] * n1 + bv[:, None] * n2
+    normal = jnp.where(has_vn[:, None], n_interp, row[:, PR_FACEN:PR_FACEN + 3])
+    uv = w0 * row[:, PR_UV0:PR_UV0 + 2] + bu[:, None] * row[:, PR_UV1:PR_UV1 + 2] \
+        + bv[:, None] * row[:, PR_UV2:PR_UV2 + 2]
+    uv = jnp.where(has_vn[:, None], uv, jnp.zeros_like(uv))
+
+    # sphere / cone lanes override the geometry columns kind-dependently
+    if scene.n_spheres:
+        is_sph = (prim >= scene.n_tris) & (prim < scene.n_tris + scene.n_spheres)
+        c = row[:, PR_V0:PR_V0 + 3]
+        rad = jnp.where(row[:, 3] != 0, row[:, 3], 1.0)
+        sph_n = (point - c) / rad[:, None]
+        d = (c - point) / rad[:, None]
+        sv = 0.5 + jnp.arcsin(jnp.clip(d[:, 1], -1, 1)) / jnp.pi
+        su = 0.5 + jnp.arctan2(d[:, 2], d[:, 0]) / (2 * jnp.pi)
+        normal = jnp.where(is_sph[:, None], sph_n, normal)
+        uv = jnp.where(is_sph[:, None], jnp.stack([su, sv], -1), uv)
+    if scene.n_cones:
+        base = scene.n_tris + scene.n_spheres
+        is_cone = prim >= base
+        cpos = row[:, PR_V0:PR_V0 + 3]
+        ch = jnp.where(row[:, 4] != 0, row[:, 4], 1.0)
+        w2l = row[:, PR_W2L:PR_W2L + 9].reshape(-1, 3, 3)
+        cone_n, cone_uv = _cone_attrs_from(point, cpos, ch, w2l)
+        normal = jnp.where(is_cone[:, None], cone_n, normal)
+        uv = jnp.where(is_cone[:, None], cone_uv, uv)
+
+    # material + textures
+    rough = row[:, PR_ROUGH]
+    opac = row[:, PR_OPAC]
+    ior = row[:, PR_IOR]
+    color, ta = _tex_eval_desc(scene, row[:, PR_TEXD:PR_TEXD + 13],
+                               uv[:, 0], uv[:, 1])
+    em, _ = _tex_eval_desc(scene, row[:, PR_TEXE:PR_TEXE + 13],
+                           uv[:, 0], uv[:, 1])
+    return ShadeResult(point, normal, uv, valid, color, em,
+                       opac * ta, rough, ior)
+
+
+def _cone_attrs_from(point, pos, h, w2l):
+    """Cone (normal, uv) from row-sourced parameters (entities.h:246-256)."""
+    p = jnp.einsum("...ij,...j->...i", w2l, point - pos)
+    phi = jnp.arctan2(p[..., 1], p[..., 0])
+    phi = jnp.where(phi < 0, phi + 2 * jnp.pi, phi)
+    u = phi / (2 * jnp.pi)
+    v = p[..., 2] / h
+    two_pi = 2 * jnp.pi
+    dpdu = jnp.stack([-two_pi * p[..., 1], two_pi * p[..., 0],
+                      jnp.zeros_like(u)], -1)
+    omv = jnp.where(jnp.abs(1.0 - v) < 1e-9, 1e-9, 1.0 - v)
+    dpdv = jnp.stack([-p[..., 0] / omv, -p[..., 1] / omv,
+                      jnp.broadcast_to(h, u.shape)], -1)
+    n_local = jnp.cross(dpdu, dpdv)
+    nl = jnp.linalg.norm(n_local, axis=-1, keepdims=True)
+    n_local = n_local / jnp.maximum(nl, 1e-30)
+    n_world = jnp.einsum("...ji,...j->...i", w2l, n_local)
+    return n_world, jnp.stack([u, v], -1)
+
+
+# --------------------------------------------------------------------------
 # packed shade tables
 #
 # Per-hit attribute fetches are random gathers; on TPU a gather's cost is

@@ -171,6 +171,20 @@ class SceneBuilder:
             uv = np.stack(self._tri_uv)
         else:
             v = np.zeros((0, 3, 3)); n = np.zeros((0, 3, 3)); uv = np.zeros((0, 3, 2))
+        # --- BVH over triangles, built FIRST so the triangle arrays can be
+        # permuted into BVH leaf order: the Pallas dense-chunk kernel culls
+        # per 128-triangle chunk, so consecutive triangles must be spatially
+        # coherent (insertion order is mesh-file order — scattered AABBs
+        # defeat every chunk cull)
+        tri_min = v.min(1) if Tn else np.zeros((0, 3))
+        tri_max = (v.max(1) + 1e-5) if Tn else np.zeros((0, 3))  # entities.h:547
+        bvh_np = build_bvh(tri_min, tri_max, leaf_size=leaf_size)
+        perm = (np.asarray(bvh_np.prim_idx, np.int64) if Tn
+                else np.zeros(0, np.int64))
+        v, n, uv = v[perm], n[perm], uv[perm]
+        tri_min, tri_max = tri_min[perm], tri_max[perm]
+        tri_mat_arr = np.asarray(self._tri_mat, np.int32).reshape(Tn)[perm]
+
         e1 = v[:, 1] - v[:, 0]
         e2 = v[:, 2] - v[:, 0]
         fn = np.cross(e1, e2)
@@ -185,7 +199,7 @@ class SceneBuilder:
             uv0=jnp.asarray(uv[:, 0], f), uv1=jnp.asarray(uv[:, 1], f),
             uv2=jnp.asarray(uv[:, 2], f),
             face_n=jnp.asarray(fn, f),
-            mat_id=jnp.asarray(self._tri_mat, np.int32).reshape(Tn),
+            mat_id=jnp.asarray(tri_mat_arr),
         )
 
         sp = np.asarray(self._sph_pos, np.float64).reshape(-1, 3)
@@ -237,16 +251,13 @@ class SceneBuilder:
 
         textures = self._build_textures(f)
 
-        # --- BVH over triangles (spheres are few; tested densely) ---
-        tri_min = v.min(1) if Tn else np.zeros((0, 3))
-        tri_max = (v.max(1) + 1e-5) if Tn else np.zeros((0, 3))  # entities.h:547
-        bvh_np = build_bvh(tri_min, tri_max, leaf_size=leaf_size)
+        # triangle arrays are already in BVH leaf order -> identity prim map
         bvh = T.BVH(node_min=jnp.asarray(bvh_np.node_min, f),
                     node_max=jnp.asarray(bvh_np.node_max, f),
                     skip=jnp.asarray(bvh_np.skip),
                     first=jnp.asarray(bvh_np.first),
                     count=jnp.asarray(bvh_np.count),
-                    prim_idx=jnp.asarray(bvh_np.prim_idx),
+                    prim_idx=jnp.asarray(np.arange(Tn, dtype=np.int32)),
                     leaf_size=leaf_size)
 
         sph_min = sp - sr[:, None] if len(sr) else np.zeros((0, 3))
