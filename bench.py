@@ -5,8 +5,11 @@ Prints ONE JSON line:
 
 Metric: rays/s through the full trace+shade wavefront on the cornell scene
 at 512x512, fixed 8 spp, depth 8 (protocol per BASELINE.md).  "Rays" counts
-every traversal query issued: primary + bounce extensions + shadow rays,
+every traversal query actually issued for an ALIVE lane — primary + bounce
+extensions + shadow rays, from the integrator's own per-bounce counters —
 matching how the reference's trace()/visible() calls would be counted.
+Paths killed by Russian roulette stop counting, exactly as the reference's
+recursion stops issuing queries.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the north
 star is >=50x a 32-core CPU running the reference.  We report against a
@@ -51,17 +54,19 @@ def main():
     r = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT)
 
     # warmup / compile
-    img = r.render()
+    img, st = r.render(return_state=True)
     np.asarray(img)
 
     t0 = time.time()
-    img = r.render()
+    img, st = r.render(return_state=True)
     np.asarray(img)
     dt = time.time() - t0
 
-    n_lights = ls.scene.lights.count
-    # per wave per pixel: DEPTH closest-hit rays + DEPTH*n_lights shadow rays
-    rays = WIDTH * HEIGHT * SPP * DEPTH * (1 + n_lights)
+    # HONEST ray count from the integrator's own per-bounce alive/shadow
+    # counters (integrator.py PathState.n_closest/n_shadow, accumulated into
+    # state["rays"] by the fused loop) — NOT the W*H*SPP*DEPTH*(1+L) formula,
+    # which pretends every path survives all bounces.
+    rays = float(np.asarray(st["rays"]))
     rays_per_s = rays / dt
     print(json.dumps({
         "metric": "rays_per_s_cornell_512_8spp",
@@ -69,6 +74,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": rays_per_s / REF_32CORE_RAYS_PER_S,
         "seconds": dt,
+        "rays_traced": rays,
     }))
 
 

@@ -403,8 +403,20 @@ def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
             return _compacted(run, ro, rd, active, rid0, *extra)
         act = (active if active is not None else jnp.ones((R,), bool))
         return run(ro, rd, act, rid0, *(() if t_max is None else (t_max,)))
-    return closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
-                       active=active)
+    hit = closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
+                      active=active)
+    if scene.n_tris:
+        # the BVH while_loop detaches its outputs (reverse-diff of
+        # while_loop is undefined); recompute the winner's exact (t,u,v)
+        # differentiably so both backends expose the same gradients
+        is_tri = (hit.prim >= 0) & (hit.prim < scene.n_tris)
+        p = jnp.clip(hit.prim, 0, scene.n_tris - 1)
+        t, u, v, ok = ray_triangle(ro, rd, scene.tris.v0[p],
+                                   scene.tris.e1[p], scene.tris.e2[p], eps)
+        m = is_tri & ok
+        hit = Hit(jnp.where(m, t, hit.t), hit.prim,
+                  jnp.where(m, u, hit.u), jnp.where(m, v, hit.v))
+    return hit
 
 
 def trace_closest_rows(scene: Scene, rows, ro, rd, t_max=None, salt=0,

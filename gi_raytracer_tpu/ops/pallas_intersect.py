@@ -197,7 +197,11 @@ def _kernel(salt_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
 
     def cond(carry):
         i, best_t, best_c, t_cap = carry
-        return (i < n_chunks) & (entry_ref[row, i] <= t_cap)
+        # clamp: `&` does not short-circuit, so the read happens even when
+        # i == n_chunks; when n_chunks is an exact multiple of 128 that slot
+        # would be past the SMEM block
+        i_s = jnp.minimum(i, n_chunks - 1)
+        return (i < n_chunks) & (entry_ref[row, i_s] <= t_cap)
 
     def body(carry):
         i, best_t, best_c, t_cap = carry
@@ -238,15 +242,21 @@ def _chunk_cull(cbox, ro, rd, t_eff, active, n_chunks, diag):
     big = jnp.float32(_BIG)
 
     if n_chunks <= PER_RAY_CULL_MAX_CHUNKS:
-        # sharp per-ray slab test, reduced per tile
+        # sharp per-ray slab test, reduced per tile; accumulated one axis at
+        # a time so peak HBM is O(R * nC) not O(R * nC * 3 * 2) — at 262k
+        # rays x 128 chunks the 3-axis intermediates were a ~400MB spike
+        # when XLA chose not to fuse the reduction
         tiny = 1e-12
         safe_d = jnp.where(jnp.abs(rd) < tiny,
                            jnp.where(rd < 0, -tiny, tiny), rd)
         inv_d = 1.0 / safe_d                          # (R, 3)
-        ta = (lo[None] - ro[:, None]) * inv_d[:, None]   # (R, nC, 3)
-        tb = (hi[None] - ro[:, None]) * inv_d[:, None]
-        tn = jnp.max(jnp.minimum(ta, tb), -1)
-        tf = jnp.min(jnp.maximum(ta, tb), -1)
+        tn = jnp.full((ro.shape[0], n_chunks), -big, jnp.float32)
+        tf = jnp.full((ro.shape[0], n_chunks), big, jnp.float32)
+        for ax in range(3):
+            ta = (lo[None, :, ax] - ro[:, None, ax]) * inv_d[:, None, ax]
+            tb = (hi[None, :, ax] - ro[:, None, ax]) * inv_d[:, None, ax]
+            tn = jnp.maximum(tn, jnp.minimum(ta, tb))
+            tf = jnp.minimum(tf, jnp.maximum(ta, tb))
         ent = jnp.maximum(tn, 0.0)
         ok = (tf >= ent) & (ent < t_eff[:, None]) & active[:, None]
         score = jnp.where(ok, ent, big)

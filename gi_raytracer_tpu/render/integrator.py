@@ -125,7 +125,14 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
 
     def _u(purpose, salt):
         from ..sampling.rng import hash_u01
-        return hash_u01(lane_u32, jnp.uint32(int(purpose)), salt).astype(dt)
+        # high-bit tag keeps decision streams disjoint from the stochastic-
+        # alpha accept streams hash_u01(ray, prim, salt) used in traversal —
+        # without it a ray hitting prim p==purpose would reuse the same
+        # uniform for its alpha test and its opacity/RR lottery (a
+        # deterministic transport bias)
+        return hash_u01(lane_u32,
+                        jnp.uint32(0x80000000) ^ jnp.uint32(int(purpose)),
+                        salt).astype(dt)
 
     def body(st: PathState, xs):
         depth, sx, sy = xs

@@ -39,18 +39,23 @@ PR_UV0, PR_UV1, PR_UV2 = 18, 20, 22
 PR_FACEN = 24
 PR_HASVN = 27
 PR_ROUGH, PR_OPAC, PR_IOR = 28, 29, 30
-PR_TEXD = 31     # diffuse texture descriptor (13 cols)
-PR_TEXE = 44     # emissive texture descriptor (13 cols)
+PR_TEXD = 31     # diffuse texture descriptor (14 cols)
+PR_TEXE = 45     # emissive texture descriptor (14 cols)
 PR_W = 64
-# texture descriptor sub-layout (13):
-#   kind, offset, width, height, has_alpha, tile_u, tile_v, c0 c1 c2, d0 d1 d2
+TEXD_W = 14
+# texture descriptor sub-layout (14):
+#   kind, off_hi, off_lo, width, height, has_alpha, tile_u, tile_v,
+#   c0 c1 c2, d0 d1 d2
+# the atlas offset is carried as two exact float halves (hi*4096 + lo):
+# a single f32 column silently loses texels past 2^24 on big atlases
 
 
 def _tex_descriptor(tx: Textures, tid, dt):
-    """(N, 13) float descriptor rows for texture ids ``tid``."""
+    """(N, 14) float descriptor rows for texture ids ``tid``."""
     return jnp.concatenate([
         tx.kind[tid, None].astype(dt),
-        tx.offset[tid, None].astype(dt),
+        (tx.offset[tid, None] // 4096).astype(dt),
+        (tx.offset[tid, None] % 4096).astype(dt),
         tx.width[tid, None].astype(dt),
         tx.height[tid, None].astype(dt),
         tx.has_alpha[tid, None].astype(dt),
@@ -101,18 +106,18 @@ def build_prim_rows(scene: Scene) -> jnp.ndarray:
             jnp.zeros((C, 14), dt)], axis=1)
         parts.append(jnp.concatenate([geom, mat_cols(cn.mat_id)], axis=1))
     if not parts:
-        parts = [jnp.zeros((1, 57), dt)]
+        parts = [jnp.zeros((1, 28 + 3 + 2 * TEXD_W), dt)]
     rows = jnp.concatenate(parts, axis=0)
     return jnp.pad(rows, ((0, 0), (0, PR_W - rows.shape[1])))
 
 
 def _tex_eval_desc(scene: Scene, desc, u, v):
-    """(rgb (R,3), alpha (R,)) from gathered 13-col texture descriptors.
+    """(rgb (R,3), alpha (R,)) from gathered 14-col texture descriptors.
     Same semantics as :func:`sample_texture` (material.h:39-78)."""
     kind = desc[..., 0]
-    const_rgb = desc[..., 7:10]
-    color2 = desc[..., 10:13]
-    tlu, tlv = desc[..., 5], desc[..., 6]
+    const_rgb = desc[..., 8:11]
+    color2 = desc[..., 11:14]
+    tlu, tlv = desc[..., 6], desc[..., 7]
 
     iu = jnp.trunc(u * tlu)
     iv = jnp.trunc(v * tlv)
@@ -123,19 +128,21 @@ def _tex_eval_desc(scene: Scene, desc, u, v):
     alpha = jnp.ones_like(u)
 
     if scene.has_image_tex:
-        w = desc[..., 2]
-        h = desc[..., 3]
+        w = desc[..., 3]
+        h = desc[..., 4]
         wi = jnp.maximum(w.astype(jnp.int32), 1)
         hi_ = jnp.maximum(h.astype(jnp.int32), 1)
         xi = jnp.abs(jnp.trunc(u * w * tlu).astype(jnp.int32) % wi)
         yi_raw = jnp.abs(jnp.trunc(v * h * tlv).astype(jnp.int32) % hi_)
         yi = h.astype(jnp.int32) - yi_raw - 1
-        flat = desc[..., 1].astype(jnp.int32) + yi * w.astype(jnp.int32) + xi
+        offset = (desc[..., 1].astype(jnp.int32) * 4096
+                  + desc[..., 2].astype(jnp.int32))
+        flat = offset + yi * w.astype(jnp.int32) + xi
         flat = jnp.clip(flat, 0, scene.textures.atlas.shape[0] - 1)
         texel = scene.textures.atlas[flat]
         is_img = kind == TEX_IMAGE
         rgb = jnp.where(is_img[..., None], texel[..., :3], rgb)
-        alpha = jnp.where(is_img & (desc[..., 4] > 0.5), texel[..., 3], alpha)
+        alpha = jnp.where(is_img & (desc[..., 5] > 0.5), texel[..., 3], alpha)
     return rgb, alpha
 
 
@@ -198,9 +205,9 @@ def shade_from_rows(scene: Scene, row, ro, rd, t, prim, bu, bv) -> ShadeResult:
     rough = row[:, PR_ROUGH]
     opac = row[:, PR_OPAC]
     ior = row[:, PR_IOR]
-    color, ta = _tex_eval_desc(scene, row[:, PR_TEXD:PR_TEXD + 13],
+    color, ta = _tex_eval_desc(scene, row[:, PR_TEXD:PR_TEXD + TEXD_W],
                                uv[:, 0], uv[:, 1])
-    em, _ = _tex_eval_desc(scene, row[:, PR_TEXE:PR_TEXE + 13],
+    em, _ = _tex_eval_desc(scene, row[:, PR_TEXE:PR_TEXE + TEXD_W],
                            uv[:, 0], uv[:, 1])
     return ShadeResult(point, normal, uv, valid, color, em,
                        opac * ta, rough, ior)
