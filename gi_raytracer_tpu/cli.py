@@ -105,62 +105,29 @@ def cmd_photons(args):
 
 
 def cmd_grad_check(args):
-    """Validate renderer gradients against central finite differences.
-
-    Differentiates the mean image intensity wrt the light color (the same
-    inverse-rendering path train_step_sharded uses) at a small resolution,
-    and prints a JSON line with analytic-vs-FD agreement.
+    """Validate renderer gradients against central finite differences for
+    EVERY differentiable parameter family (north star: material, texture,
+    light, geometry + camera).  Prints one JSON line per family.
     """
-    import jax
-    import jax.numpy as jnp
-    from .render.integrator import Renderer
+    from . import gradcheck
 
     ls, cfg, cam = _build(args)
-    cfg = cfg.replace(adaptive=False, min_samples=2, max_samples=2,
-                      max_depth=min(cfg.max_depth, 4))
-    W = H = max(16, min(args.width, 64))
-    r = Renderer(ls.scene, cam, cfg, W, H)
-    scene = ls.scene
-    idx = r.enum.index_image(0).ravel()
-
-    has_lights = scene.lights.count > 0
-    if has_lights:
-        param0 = scene.lights.col
-        name = "light_col"
-
-        def with_param(p):
-            return scene.replace(lights=scene.lights.replace(col=p))
-    else:  # ambient-only scenes (e.g. examples/test_scene): texture colors
-        param0 = scene.textures.color
-        name = "texture_col"
-
-        def with_param(p):
-            return scene.replace(textures=scene.textures.replace(color=p))
-
-    def loss(p):
-        img = r._wave(with_param(p), None, idx, jnp.uint32(0))
-        return jnp.mean(img)
-
-    g = np.asarray(jax.grad(loss)(param0))
-    eps = 1e-2
-    fd = np.zeros_like(np.asarray(param0))
-    # central differences over the first min(K, 4) rows of the parameter
-    # table (checking all K x 3 would be slow for big texture tables)
-    flat = [(i, c) for i in range(min(param0.shape[0], 4)) for c in range(3)]
-    for i, c in flat:
-        e = jnp.zeros_like(param0).at[i, c].set(eps)
-        fd[i, c] = float((loss(param0 + e) - loss(param0 - e)) / (2 * eps))
-    sel = np.zeros(fd.shape, bool)
-    for i, c in flat:
-        sel[i, c] = True
-    # symmetric scale: a ~0 true derivative with ~1e-4 FD noise must not
-    # read as rel~1 against an analytic 0
-    denom = np.maximum(np.maximum(np.abs(fd[sel]), np.abs(g[sel])), 1e-3)
-    rel = float(np.max(np.abs(g[sel] - fd[sel]) / denom))
-    print(json.dumps({"metric": f"grad_rel_err_{name}", "value": rel,
-                      "analytic": g[sel].ravel().tolist(),
-                      "fd": fd[sel].ravel().tolist(),
-                      "pass": bool(rel < 1e-2)}))
+    ls.config = cfg
+    size = max(16, min(args.width, 64))
+    for name, fn in gradcheck.ALL_CHECKS.items():
+        if name == "light_col" and ls.scene.lights.count == 0:
+            continue  # ambient-only scenes (e.g. examples/test_scene)
+        try:
+            rep = fn(ls, size=size)
+        except Exception as e:  # report, keep checking the rest
+            print(json.dumps({"metric": f"grad_rel_err_{name}",
+                              "error": str(e)[:200], "pass": False}))
+            continue
+        print(json.dumps({"metric": f"grad_rel_err_{name}",
+                          "value": rep.rel_err,
+                          "analytic": np.asarray(rep.analytic).tolist(),
+                          "fd": np.asarray(rep.fd).tolist(),
+                          "pass": bool(rep.ok)}))
 
 
 def cmd_bench(args):

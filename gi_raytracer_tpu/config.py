@@ -34,10 +34,13 @@ class RenderConfig:
     # --- photon mapping (util.h:27-28, raytracer.h:721-722) ---
     photons: int = 75_000            # PHOTONS
     photon_depth: int = 5            # PHOTON_DEPTH
-    photon_retries: int = 4          # reference retries each emission slot up
-                                     # to 500x serially (raytracer.h:602); the
-                                     # wavefront design flattens retries into
-                                     # extra lanes and keeps the first success
+    photon_retries: int = 64         # reference retries each emission slot up
+                                     # to 500x serially (raytracer.h:602); here
+                                     # retries are masked re-emission ROUNDS in
+                                     # a while_loop that exits as soon as all
+                                     # slots stored, so the cap is cheap; 64
+                                     # leaves P(all-fail) negligible for any
+                                     # per-attempt success rate >= 10%
     knn_k: int = 32                  # photon gather size (raytracer.h:258)
     caustic_max_depth: int = 10      # photon lookup depth gate (raytracer.h:258)
 

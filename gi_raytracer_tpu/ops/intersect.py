@@ -141,7 +141,8 @@ def _accept_prob(scene: Scene, mat_id):
     return jnp.where(refractive, 1.0, alpha)
 
 
-def _leaf_tri_test(scene: Scene, ro, rd, node, t_best, salt, eps):
+def _leaf_tri_test(scene: Scene, ro, rd, node, t_best, salt, eps,
+                   ray_id=None):
     """Intersect the K triangles of each ray's current leaf.
     Returns (t, prim, u, v, any_better) per ray for the best accepted hit."""
     bvh = scene.bvh
@@ -159,7 +160,8 @@ def _leaf_tri_test(scene: Scene, ro, rd, node, t_best, salt, eps):
     # stochastic alpha acceptance (raytracer.h:455)
     mat = scene.tris.mat_id[pid]
     p_acc = _accept_prob(scene, mat)
-    rid = jnp.arange(ro.shape[0], dtype=jnp.uint32)[:, None]
+    rid = (jnp.arange(ro.shape[0], dtype=jnp.uint32) if ray_id is None
+           else ray_id.astype(jnp.uint32))[:, None]
     uni = hash_u01(rid, pid.astype(jnp.uint32), salt)
     ok &= (uni < p_acc) | (p_acc >= 1.0)
     tk = jnp.where(ok, t, _BIG)
@@ -171,7 +173,7 @@ def _leaf_tri_test(scene: Scene, ro, rd, node, t_best, salt, eps):
 
 def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
                 eps: float = 1e-5, active=None,
-                stop_on_first: bool = False) -> Hit:
+                stop_on_first: bool = False, ray_id=None) -> Hit:
     """Nearest accepted hit along each ray (trace(), raytracer.h:382-478).
 
     ``active``: lanes with active=False never traverse (vital inside the
@@ -179,6 +181,9 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
     slab-test as hitting EVERY node and serialize the lockstep loop).
     ``stop_on_first``: any-hit semantics — a lane terminates at its first
     accepted hit (occlusion queries don't need the nearest one).
+    ``ray_id``: lane-invariant ids keying the stochastic-alpha streams
+    (defaults to the dispatch slot; sharded/compacted callers must pass the
+    GLOBAL lane ids so results are layout-independent).
     """
     R = ro.shape[0]
     dt = ro.dtype
@@ -221,7 +226,8 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
         do_leaf = hit_box & is_leaf
 
         lt, lp, lu, lv, better = _leaf_tri_test(
-            scene, ro, rd, jnp.where(do_leaf, node, 0), s.t, salt, eps)
+            scene, ro, rd, jnp.where(do_leaf, node, 0), s.t, salt, eps,
+            ray_id=ray_id)
         upd = do_leaf & better
         t = jnp.where(upd, lt, s.t)
         prim = jnp.where(upd, lp, s.prim)
@@ -246,7 +252,8 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
         ts, ok = ray_sphere(ro[:, None, :], rd[:, None, :],
                             scene.spheres.pos[None], scene.spheres.rad[None])
         p_acc = _accept_prob(scene, scene.spheres.mat_id)[None, :]
-        rid = jnp.arange(R, dtype=jnp.uint32)[:, None]
+        rid = (jnp.arange(R, dtype=jnp.uint32) if ray_id is None
+               else ray_id.astype(jnp.uint32))[:, None]
         sid = (scene.n_tris
                + jnp.arange(scene.n_spheres, dtype=jnp.uint32))[None, :]
         uni = hash_u01(rid, sid, salt)
@@ -264,15 +271,15 @@ def closest_hit(scene: Scene, ro, rd, t_max=None, salt=0,
                 jnp.where(upd, 0.0, st.u), jnp.where(upd, 0.0, st.v))
 
     hit = Hit(st.t, jnp.where(~jnp.isfinite(st.t), -1, st.prim), st.u, st.v)
-    return _cone_pass(scene, ro, rd, hit, salt, active, t_max)
+    return _cone_pass(scene, ro, rd, hit, salt, active, t_max, ray_id=ray_id)
 
 
 def any_hit(scene: Scene, ro, rd, t_limit, salt=0, eps: float = 1e-5,
-            active=None) -> jnp.ndarray:
+            active=None, ray_id=None) -> jnp.ndarray:
     """True where something accepted occludes (0, t_limit) — visible(),
     raytracer.h:280-319.  Lanes terminate at their first accepted hit."""
     hit = closest_hit(scene, ro, rd, t_max=t_limit, salt=salt, eps=eps,
-                      active=active, stop_on_first=True)
+                      active=active, stop_on_first=True, ray_id=ray_id)
     return hit.prim >= 0
 
 
@@ -281,7 +288,7 @@ def any_hit(scene: Scene, ro, rd, t_limit, salt=0, eps: float = 1e-5,
 # --------------------------------------------------------------------------
 
 def _sphere_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
-                 t_max=None) -> Hit:
+                 t_max=None, ray_id=None) -> Hit:
     """Dense analytic-sphere closest-hit layered over a triangle Hit."""
     if not scene.n_spheres:
         return hit
@@ -289,7 +296,8 @@ def _sphere_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
     ts, ok = ray_sphere(ro[:, None, :], rd[:, None, :],
                         scene.spheres.pos[None], scene.spheres.rad[None])
     p_acc = _accept_prob(scene, scene.spheres.mat_id)[None, :]
-    rid = jnp.arange(R, dtype=jnp.uint32)[:, None]
+    rid = (jnp.arange(R, dtype=jnp.uint32) if ray_id is None
+           else ray_id.astype(jnp.uint32))[:, None]
     sid = (scene.n_tris
            + jnp.arange(scene.n_spheres, dtype=jnp.uint32))[None, :]
     uni = hash_u01(rid, sid, salt)
@@ -310,7 +318,7 @@ def _sphere_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
 
 
 def _cone_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
-               t_max=None) -> Hit:
+               t_max=None, ray_id=None) -> Hit:
     """Dense analytic-cone closest-hit layered over an existing Hit (cones
     are rare; like spheres they are tested densely outside the BVH)."""
     if not scene.n_cones:
@@ -320,7 +328,8 @@ def _cone_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
     ts, ok = ray_cone(ro[:, None, :], rd[:, None, :], cn.pos[None],
                       cn.rad[None], cn.height[None], cn.w2l[None])
     p_acc = _accept_prob(scene, cn.mat_id)[None, :]
-    rid = jnp.arange(R, dtype=jnp.uint32)[:, None]
+    rid = (jnp.arange(R, dtype=jnp.uint32) if ray_id is None
+           else ray_id.astype(jnp.uint32))[:, None]
     cid = (scene.n_tris + scene.n_spheres
            + jnp.arange(scene.n_cones, dtype=jnp.uint32))[None, :]
     uni = hash_u01(rid, cid, salt)
@@ -382,20 +391,23 @@ def _compacted(fn, ro, rd, active, *per_lane):
 
 def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
                   active=None, backend: str = "auto",
-                  compact: bool = False) -> Hit:
+                  compact: bool = False, ray_id=None) -> Hit:
     """Backend-dispatched, differentiable closest-hit (tris + spheres)."""
     if use_pallas(scene, backend):
         from .pallas_intersect import pallas_closest_hit
         R = ro.shape[0]
-        rid0 = jnp.arange(R, dtype=jnp.int32)
+        rid0 = (jnp.arange(R, dtype=jnp.int32) if ray_id is None
+                else ray_id.astype(jnp.int32))
 
         def run(ro_, rd_, act_, rid_, *tm):
             tm_ = tm[0] if tm else None
             hit = pallas_closest_hit(scene, ro_, rd_, t_max=tm_, salt=salt,
                                      eps=eps, active=act_, ray_id=rid_,
                                      differentiable=True)
-            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tm_)
-            return _cone_pass(scene, ro_, rd_, hit, salt, act_, tm_)
+            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tm_,
+                               ray_id=rid_)
+            return _cone_pass(scene, ro_, rd_, hit, salt, act_, tm_,
+                              ray_id=rid_)
 
         if compact and active is not None:
             extra = () if t_max is None else (
@@ -404,7 +416,7 @@ def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
         act = (active if active is not None else jnp.ones((R,), bool))
         return run(ro, rd, act, rid0, *(() if t_max is None else (t_max,)))
     hit = closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
-                      active=active)
+                      active=active, ray_id=ray_id)
     if scene.n_tris:
         # the BVH while_loop detaches its outputs (reverse-diff of
         # while_loop is undefined); recompute the winner's exact (t,u,v)
@@ -421,7 +433,7 @@ def trace_closest(scene: Scene, ro, rd, t_max=None, salt=0, eps=1e-5,
 
 def trace_closest_rows(scene: Scene, rows, ro, rd, t_max=None, salt=0,
                        eps=1e-5, active=None, backend: str = "auto",
-                       compact: bool = False):
+                       compact: bool = False, ray_id=None):
     """Closest hit PLUS the winner's packed shade row — one wide gather.
 
     ``rows`` is shading.build_prim_rows(scene): a (T+S+C, PR_W) table that
@@ -441,7 +453,8 @@ def trace_closest_rows(scene: Scene, rows, ro, rd, t_max=None, salt=0,
         from .pallas_intersect import pallas_prim_query
 
         R = ro.shape[0]
-        rid0 = jnp.arange(R, dtype=jnp.int32)
+        rid0 = (jnp.arange(R, dtype=jnp.int32) if ray_id is None
+                else ray_id.astype(jnp.int32))
 
         def run(ro_, rd_, act_, rid_, *tm):
             tm_ = tm[0] if tm else None
@@ -454,8 +467,10 @@ def trace_closest_rows(scene: Scene, rows, ro, rd, t_max=None, salt=0,
             m = (prim >= 0) & ok
             hit = Hit(jnp.where(m, t, jnp.inf), jnp.where(m, prim, -1),
                       jnp.where(m, u, 0.0), jnp.where(m, v, 0.0))
-            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tm_)
-            hit = _cone_pass(scene, ro_, rd_, hit, salt, act_, tm_)
+            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tm_,
+                               ray_id=rid_)
+            hit = _cone_pass(scene, ro_, rd_, hit, salt, act_, tm_,
+                             ray_id=rid_)
             if scene.n_spheres or scene.n_cones:
                 row = final_row(hit.prim)
             return hit, row
@@ -468,7 +483,7 @@ def trace_closest_rows(scene: Scene, rows, ro, rd, t_max=None, salt=0,
         return run(ro, rd, act, rid0, *(() if t_max is None else (t_max,)))
 
     hit = closest_hit(scene, ro, rd, t_max=t_max, salt=salt, eps=eps,
-                      active=active)
+                      active=active, ray_id=ray_id)
     row = final_row(hit.prim)
     if scene.n_tris:
         # recompute triangle-lane (t,u,v) differentiably from the row
@@ -484,19 +499,22 @@ def trace_closest_rows(scene: Scene, rows, ro, rd, t_max=None, salt=0,
 
 def trace_any(scene: Scene, ro, rd, t_limit, salt=0, eps=1e-5,
               active=None, backend: str = "auto",
-              compact: bool = False) -> jnp.ndarray:
+              compact: bool = False, ray_id=None) -> jnp.ndarray:
     """Backend-dispatched occlusion query."""
     if use_pallas(scene, backend):
         from .pallas_intersect import pallas_closest_hit
         R = ro.shape[0]
-        rid0 = jnp.arange(R, dtype=jnp.int32)
+        rid0 = (jnp.arange(R, dtype=jnp.int32) if ray_id is None
+                else ray_id.astype(jnp.int32))
 
         def run(ro_, rd_, act_, rid_, tl_):
             hit = pallas_closest_hit(scene, ro_, rd_, t_max=tl_, salt=salt,
                                      eps=eps, active=act_, ray_id=rid_,
                                      any_hit=True)
-            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tl_)
-            hit = _cone_pass(scene, ro_, rd_, hit, salt, act_, tl_)
+            hit = _sphere_pass(scene, ro_, rd_, hit, salt, act_, tl_,
+                               ray_id=rid_)
+            hit = _cone_pass(scene, ro_, rd_, hit, salt, act_, tl_,
+                             ray_id=rid_)
             return hit.prim >= 0
 
         tl = jnp.broadcast_to(t_limit, (R,)).astype(ro.dtype)
@@ -504,4 +522,5 @@ def trace_any(scene: Scene, ro, rd, t_limit, salt=0, eps=1e-5,
             return _compacted(run, ro, rd, active, rid0, tl)
         act = (active if active is not None else jnp.ones((R,), bool))
         return run(ro, rd, act, rid0, tl)
-    return any_hit(scene, ro, rd, t_limit, salt=salt, eps=eps, active=active)
+    return any_hit(scene, ro, rd, t_limit, salt=salt, eps=eps, active=active,
+                   ray_id=ray_id)

@@ -68,7 +68,11 @@ def _cos_power_local(u, v, power):
     scalars; returns (..., 3)."""
     phi = v * (2.0 * PI)
     cos_t = jnp.power(jnp.maximum(1.0 - u, 0.0), 1.0 / power)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    # masked-safe sqrt: at the pole (u=0 -> cos_t=1) sqrt'(0)=inf would
+    # poison d/d(power) gradients (e.g. roughness) with inf*0=nan
+    sin2 = jnp.maximum(1.0 - cos_t * cos_t, 0.0)
+    pos = sin2 > 0
+    sin_t = jnp.where(pos, jnp.sqrt(jnp.where(pos, sin2, 1.0)), 0.0)
     return jnp.stack(jnp.broadcast_arrays(
         jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t), -1)
 

@@ -52,7 +52,7 @@ class PathState(NamedTuple):
 
 
 def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
-                  u_light, salt, active=None):
+                  u_light, salt, active=None, ray_id=None):
     """One shadow ray per light per bounce toward a uniform sphere point
     (raytracer.h:230-256).  Reference overwrites ``i`` per light (`=` not
     `+=`, raytracer.h:254); we sum — identical for the bundled single-light
@@ -75,13 +75,18 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
         occ = trace_any(scene, so, normalize(ldir), t_lim,
                         salt=salt + 7919 * (li + 1), active=active,
                         backend=cfg.intersect_backend,
-                        compact=cfg.compact_wavefront)
+                        compact=cfg.compact_wavefront, ray_id=ray_id)
         if scene.has_fog:
             occ = occ | fog_occludes(scene, cfg, so, normalize(ldir), t_lim,
                                      salt + 104729 * (li + 1))
         to_l = lpos[None, :] - point
         d = jnp.maximum(jnp.sum(normal * normalize(to_l), -1), 0.0)
-        l_term = d ** (1.0 / jnp.maximum(rough, 1e-12))
+        # pow with a masked-safe base: d==0 lanes otherwise poison the
+        # d/d(roughness) gradient with 0^e * log(0) = nan
+        d_pos = d > 0
+        d_safe = jnp.where(d_pos, d, 1.0)
+        l_term = jnp.where(d_pos,
+                           d_safe ** (1.0 / jnp.maximum(rough, 1e-12)), 0.0)
         hfrac = 1.0 / (PI * jnp.sum(to_l * to_l, -1))
         acc = acc + jnp.where(occ[:, None], 0.0, lcol[None, :]
                               * (l_term * hfrac)[:, None])
@@ -90,7 +95,7 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
 
 def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
                   sx_all, sy_all, key, wave_salt, photon_map=None,
-                  with_counts: bool = False):
+                  with_counts: bool = False, lane_base=0):
     """Trace a wave of rays through `max_depth` bounces; returns (R,3)
     radiance (and, with ``with_counts``, the honest per-wave traversal
     counts: alive closest-hit lanes and issued shadow-ray lanes).
@@ -117,11 +122,14 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         n_shadow=jnp.zeros((), jnp.int32),
     )
 
-    # per-bounce decision uniforms: counter-hash keyed on (lane, purpose,
-    # wave+depth salt) — deterministic like the threefry streams it replaces
-    # (same role as drand(), raytracer.h:265,497,604) but ~10x cheaper per
-    # bounce at 262k lanes
-    lane_u32 = jnp.arange(R, dtype=jnp.uint32)
+    # per-bounce decision uniforms: counter-hash keyed on (GLOBAL lane,
+    # purpose, wave+depth salt) — deterministic like the threefry streams it
+    # replaces (same role as drand(), raytracer.h:265,497,604) but ~10x
+    # cheaper per bounce at 262k lanes.  ``lane_base`` offsets the ids when
+    # this wave is a shard of a larger one, keeping every stochastic stream
+    # identical to the single-device layout.
+    lane_u32 = (jnp.asarray(lane_base).astype(jnp.uint32)
+                + jnp.arange(R, dtype=jnp.uint32))
 
     def _u(purpose, salt):
         from ..sampling.rng import hash_u01
@@ -149,7 +157,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
         hit, row = trace_closest_rows(scene, rows, st.ro, st.rd, salt=salt,
                                       eps=cfg.epsilon, active=st.alive,
                                       backend=cfg.intersect_backend,
-                                      compact=cfg.compact_wavefront)
+                                      compact=cfg.compact_wavefront,
+                                      ray_id=lane_u32)
         sh = shade_from_rows(scene, row, st.ro, st.rd, hit.t, hit.prim,
                              hit.u, hit.v)
         color, em, alpha, rough, ior = (sh.color, sh.emissive, sh.alpha,
@@ -168,7 +177,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
 
         valid = st.alive & sh.valid
         i_direct = _direct_light(scene, cfg, point, normal, rough,
-                                 u_light, salt, active=valid)
+                                 u_light, salt, active=valid,
+                                 ray_id=lane_u32)
 
         if photon_map is not None:
             from .photon import sample_photons

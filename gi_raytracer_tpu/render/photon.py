@@ -48,12 +48,24 @@ class PhotonMap:
     cell_start: jnp.ndarray  # (C+1,) int32 prefix ranges into sorted arrays
     grid_min: jnp.ndarray    # (3,)
     inv_cell: jnp.ndarray    # (3,) 1/cell_size
+    order: jnp.ndarray = None  # (P,) int32 batch->sorted permutation
     dims: tuple = struct.field(pytree_node=False, default=(1, 1, 1))
     window_cap: int = struct.field(pytree_node=False, default=8)
 
     @property
     def capacity(self) -> int:
         return self.pos.shape[0]
+
+    def rebind(self, batch: "PhotonBatch") -> "PhotonMap":
+        """Re-attach a (differentiably re-traced) PhotonBatch to this map's
+        FROZEN spatial structure (cells, sort order, window cap).  The
+        acceleration structure is detached — the standard detached-sampling
+        estimator — while photon positions/directions/colors carry
+        gradients back to light and material parameters."""
+        return self.replace(pos=batch.pos[self.order],
+                            dir=batch.dir[self.order],
+                            col=batch.col[self.order],
+                            valid=batch.stored[self.order])
 
 
 class PhotonBatch(NamedTuple):
@@ -64,14 +76,16 @@ class PhotonBatch(NamedTuple):
 
 
 def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
-                   li: int, h_idx: jnp.ndarray, key) -> PhotonBatch:
-    """Emission attempts for light ``li`` — one lane per (slot, retry).
+                   li: int, h_idx: jnp.ndarray, key,
+                   active=None, salt=0) -> PhotonBatch:
+    """Emission attempts for light ``li`` — one lane per slot.
 
-    The reference's serial per-slot retry loop (raytracer.h:602) is
-    flattened into the batch axis: every retry is an independent lane; the
-    caller picks each slot's first successful attempt.  Emission point/cone
-    per light.h:47-53 + raytracer.h:604-618; the specular-continuation chain
-    per raytracer.h:633-695.
+    The reference's serial per-slot retry loop (raytracer.h:602) becomes
+    masked re-emission *rounds* in the caller; ``active`` marks the slots
+    still retrying this round (already-stored slots trace nothing thanks to
+    wavefront compaction).  Emission point/cone per light.h:47-53 +
+    raytracer.h:604-618; the specular-continuation chain per
+    raytracer.h:633-695.
     """
     R = h_idx.shape[0]
     dt = scene.lights.pos.dtype
@@ -100,13 +114,18 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
 
     # --- specular continuation chain ---------------------------------------
     ro, rd = pos, emit_dir
-    salt0 = jnp.uint32((li + 1) * 40503)
+    salt0 = (jnp.uint32((li + 1) * 40503)
+             + jnp.asarray(salt).astype(jnp.uint32) * jnp.uint32(2654435761))
+    if active is None:
+        active = jnp.ones(R, bool)
 
     hit = trace_closest(scene, ro, rd, salt=salt0, eps=cfg.epsilon,
+                        active=active, compact=True,
                         backend=cfg.intersect_backend)
     attrs = hit_attributes_uv(scene, ro, rd, hit.t, hit.prim, hit.u, hit.v)
     _, _, _, rough, _ = material_lookup(scene, attrs.mat_id, attrs.uv)
-    alive = attrs.valid & (rough < 0.1)   # only specular-first paths matter
+    # only specular-first paths matter
+    alive = active & attrs.valid & (rough < 0.1)
 
     class Chain(NamedTuple):
         ro: jnp.ndarray
@@ -167,15 +186,69 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
     return PhotonBatch(st.p_pos, st.p_dir, st.p_col, st.stored)
 
 
+def _emit_chunk(scene, key, start, li=0, n_slots=1, *, cfg, sampler,
+                differentiable=False):
+    """First-success emission for slots [start, start+n_slots) of light li,
+    retrying failed slots up to cfg.photon_retries ROUNDS (the reference's
+    serial 500-retry loop, raytracer.h:602, as a while_loop that exits as
+    soon as every slot stored).
+
+    ``differentiable``: run the rounds as a fixed-length `lax.scan` (no
+    early exit) so the whole emission is reverse-differentiable — gradients
+    flow from stored photon colors back to light/material parameters."""
+    retries = max(cfg.photon_retries, 1)
+    dt = scene.lights.pos.dtype
+    slot = start + jnp.arange(n_slots, dtype=jnp.uint32)
+
+    class Rt(NamedTuple):
+        rnd: jnp.ndarray
+        pos: jnp.ndarray
+        dir: jnp.ndarray
+        col: jnp.ndarray
+        stored: jnp.ndarray
+
+    st0 = Rt(jnp.uint32(0),
+             jnp.zeros((n_slots, 3), dt), jnp.zeros((n_slots, 3), dt),
+             jnp.zeros((n_slots, 3), dt), jnp.zeros(n_slots, bool))
+
+    def cond(st):
+        return (st.rnd < retries) & jnp.any(~st.stored)
+
+    def body(st):
+        # Halton layout slot*retries + round: the reference's
+        # i*500+tries indexing scheme (raytracer.h:604)
+        h_idx = slot * jnp.uint32(retries) + st.rnd
+        kr = jax.random.fold_in(key, st.rnd)
+        wave = _emit_attempts(scene, cfg, sampler, li, h_idx, kr,
+                              active=~st.stored, salt=st.rnd)
+        new = wave.stored & ~st.stored
+        return Rt(st.rnd + 1,
+                  jnp.where(new[:, None], wave.pos, st.pos),
+                  jnp.where(new[:, None], wave.dir, st.dir),
+                  jnp.where(new[:, None], wave.col, st.col),
+                  st.stored | new)
+
+    if differentiable:
+        st, _ = jax.lax.scan(lambda c, _: (body(c), None), st0,
+                             None, length=retries)
+    else:
+        st = jax.lax.while_loop(cond, body, st0)
+    return PhotonBatch(st.pos, st.dir, st.col, st.stored)
+
+
 def trace_photons(scene: Scene, cfg: RenderConfig,
                   sampler: HaltonSampler | None = None,
-                  key=None, count: int | None = None) -> PhotonBatch:
-    """Emit ``count`` photon slots per light with masked retry waves.
+                  key=None, count: int | None = None,
+                  differentiable: bool = False) -> PhotonBatch:
+    """Emit ``count`` photon slots per light with masked retry rounds.
     Returns fixed-size per-slot arrays (stored = success mask).
 
-    The whole retry x depth emission program is traced into ONE jitted
-    computation (the reference's per-slot retry loop, raytracer.h:602,
-    becomes `photon_retries` statically-unrolled masked waves).
+    The reference retries each emission slot serially up to 500 times until
+    it stores a photon (raytracer.h:602).  Here that loop is a
+    `lax.while_loop` over *rounds*: every round re-emits only the slots that
+    have not stored yet (compacted, so resolved slots cost nothing) and
+    stops as soon as every slot succeeded — identical first-success
+    semantics, one compile, O(count) memory independent of the retry cap.
     """
     sampler = sampler or HaltonSampler()
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
@@ -187,26 +260,12 @@ def trace_photons(scene: Scene, cfg: RenderConfig,
                            jnp.zeros((1, 3), dt), jnp.zeros(1, bool))
 
     retries = max(cfg.photon_retries, 1)
-    # chunk over slots; each chunk is (slots_per_chunk * retries) lanes
-    slots_per_chunk = max(cfg.ray_chunk // retries, 1)
+    slots_per_chunk = min(max(cfg.ray_chunk, 1), count)
 
-    @functools.partial(jax.jit, static_argnames=("li", "n_slots"))
-    def run_chunk(scene, key, start, li, n_slots):
-        """Attempts for slots [start, start+n_slots) of light li, with the
-        first successful retry selected per slot."""
-        slot = start + jnp.arange(n_slots, dtype=jnp.uint32)
-        # lane layout (slots, retries): h_idx = slot * retries + t, matching
-        # the reference's i*500+tries indexing scheme (raytracer.h:604)
-        h_idx = (slot[:, None] * jnp.uint32(retries)
-                 + jnp.arange(retries, dtype=jnp.uint32)[None, :]).ravel()
-        wave = _emit_attempts(scene, cfg, sampler, li, h_idx, key)
-        stored = wave.stored.reshape(n_slots, retries)
-        first = jnp.argmax(stored, axis=1)            # first success per slot
-        rows = jnp.arange(n_slots)
-        sel = rows * retries + first
-        return PhotonBatch(
-            wave.pos[sel], wave.dir[sel], wave.col[sel],
-            stored[rows, first])
+    run_chunk = jax.jit(
+        functools.partial(_emit_chunk, cfg=cfg, sampler=sampler,
+                          differentiable=differentiable),
+        static_argnames=("li", "n_slots"))
 
     parts = []
     for li in range(L):
@@ -229,11 +288,19 @@ def trace_photons(scene: Scene, cfg: RenderConfig,
 
 
 def build_photon_map(batch: PhotonBatch, world_min, world_max,
-                     target_per_cell: float = 8.0,
-                     max_dim: int = 128, window_cap: int = 8) -> PhotonMap:
+                     target_per_cell: float = 4.0,
+                     max_dim: int = 192, window_cap: int | None = None,
+                     window_cap_max: int = 96) -> PhotonMap:
     """Sort photons into a uniform grid (replaces photonMap.cpp:137-192).
 
     world_min/world_max: host-side floats (grid geometry must be static).
+
+    ``window_cap`` (candidates gathered per window cell) defaults to the
+    MEASURED maximum cell occupancy, clamped to ``window_cap_max`` — so on
+    typical maps the 3x3x3 gather window truncates nothing and the kNN
+    estimate matches the brute-force oracle; only pathologically dense
+    focal cells (occupancy > window_cap_max) are clipped, where r_k is tiny
+    and the clipped tail is far outside the k-nearest set.
     """
     wmin = np.asarray(world_min, np.float64)
     wmax = np.asarray(world_max, np.float64)
@@ -244,18 +311,35 @@ def build_photon_map(batch: PhotonBatch, world_min, world_max,
     # a small part of the volume; cube-root heuristic over stored count
     n_cells_target = max(n_stored / target_per_cell, 1.0)
     per_axis = int(np.clip(np.ceil(n_cells_target ** (1 / 3)), 1, max_dim))
-    dims = (per_axis, per_axis, per_axis)
-    cell = extent / np.asarray(dims)
-    inv_cell = 1.0 / cell
-
     dt = batch.pos.dtype
-    C = dims[0] * dims[1] * dims[2]
 
-    gi = ((batch.pos - jnp.asarray(wmin, dt)) * jnp.asarray(inv_cell, dt))
-    gi = jnp.clip(gi.astype(jnp.int32), 0,
-                  jnp.asarray(np.asarray(dims) - 1, jnp.int32))
-    cell_id = (gi[:, 0] * dims[1] + gi[:, 1]) * dims[2] + gi[:, 2]
-    cell_id = jnp.where(batch.stored, cell_id, C)  # invalid -> overflow cell
+    def cell_ids(per_axis):
+        dims = (per_axis, per_axis, per_axis)
+        inv_cell = np.asarray(dims) / extent
+        gi = ((batch.pos - jnp.asarray(wmin, dt)) * jnp.asarray(inv_cell, dt))
+        gi = jnp.clip(gi.astype(jnp.int32), 0,
+                      jnp.asarray(np.asarray(dims) - 1, jnp.int32))
+        cid = (gi[:, 0] * dims[1] + gi[:, 1]) * dims[2] + gi[:, 2]
+        C = dims[0] * dims[1] * dims[2]
+        return jnp.where(batch.stored, cid, C), dims, inv_cell, C
+
+    # refine until the densest cell fits the gather window (photons cluster
+    # at caustic foci, so the initial count-based heuristic can leave cells
+    # holding hundreds of photons — the exact bias the reference's adaptive
+    # photon octree avoids by splitting to <=16/leaf, photonMap.cpp:137-192)
+    if window_cap is None:
+        while True:
+            cid, dims, inv_cell, C = cell_ids(per_axis)
+            occ_max = int(jnp.max(jnp.bincount(
+                jnp.where(cid < C, cid, 0),
+                weights=(cid < C).astype(jnp.int32), length=C)))
+            if occ_max <= window_cap_max or per_axis >= max_dim:
+                break
+            per_axis = min(per_axis * 2, max_dim)
+        window_cap = int(np.clip(occ_max, 1, window_cap_max))
+    else:
+        cid, dims, inv_cell, C = cell_ids(per_axis)
+    cell_id = cid
 
     order = jnp.argsort(cell_id)
     sorted_id = cell_id[order]
@@ -268,17 +352,37 @@ def build_photon_map(batch: PhotonBatch, world_min, world_max,
                      cell_start=cell_start,
                      grid_min=jnp.asarray(wmin, dt),
                      inv_cell=jnp.asarray(inv_cell, dt),
+                     order=order.astype(jnp.int32),
                      dims=dims, window_cap=window_cap)
 
 
 def sample_photons(pm: PhotonMap, point: jnp.ndarray, direction: jnp.ndarray,
-                   k: int) -> jnp.ndarray:
+                   k: int, lane_chunk: int = 32768) -> jnp.ndarray:
     """Jensen caustic estimate at shading points (raytracer.h:532-579).
 
     Gathers candidates from the 3x3x3 cell window around each point (up to
     ``window_cap`` per cell), takes the k nearest, and returns
     sum(col_i * dot(dir_i, direction)) / (pi * r_k^2).
+
+    Lanes are processed in ``lane_chunk`` blocks via `lax.map` so the
+    (R, 27*window_cap) candidate matrices never exceed a bounded HBM
+    footprint regardless of wavefront width or window size.
     """
+    R = point.shape[0]
+    if R > lane_chunk:
+        pad = (-R) % lane_chunk
+        pts = jnp.pad(point, ((0, pad), (0, 0)))
+        dirs = jnp.pad(direction, ((0, pad), (0, 0)))
+        n_blk = (R + pad) // lane_chunk
+        out = jax.lax.map(
+            lambda ab: _sample_photons_block(pm, ab[0], ab[1], k),
+            (pts.reshape(n_blk, lane_chunk, 3),
+             dirs.reshape(n_blk, lane_chunk, 3)))
+        return out.reshape(R + pad, 3)[:R]
+    return _sample_photons_block(pm, point, direction, k)
+
+
+def _sample_photons_block(pm: PhotonMap, point, direction, k):
     R = point.shape[0]
     dt = point.dtype
     nx, ny, nz = pm.dims
@@ -334,3 +438,57 @@ def sample_photons(pm: PhotonMap, point: jnp.ndarray, direction: jnp.ndarray,
     denom = jnp.where(has, PI * jnp.maximum(max_d2, 1e-20), 1.0)
     return jnp.where(has[:, None], total / denom[:, None],
                      jnp.zeros((R, 3), dt))
+
+
+def trace_photons_sharded(scene: Scene, cfg: RenderConfig, mesh,
+                          sampler: HaltonSampler | None = None,
+                          key=None, count: int | None = None) -> PhotonBatch:
+    """trace_photons with emission slots sharded over a device mesh.
+
+    Each device emits its contiguous slot range (global slot ids keep the
+    Halton sequence and every stochastic stream identical to the
+    single-device layout when cfg.ray_chunk == count // n_devices); the
+    returned PhotonBatch leaves are row-sharded — feeding them to
+    build_photon_map assembles the global map (XLA all-gathers the shards),
+    the TPU-native form of the reference's per-thread photon buffers merged
+    under omp critical (raytracer.h:587-712).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    sampler = sampler or HaltonSampler()
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    count = count or cfg.photons
+    L = scene.lights.count
+    dt = scene.lights.pos.dtype
+    if L == 0:
+        return PhotonBatch(jnp.zeros((1, 3), dt), jnp.zeros((1, 3), dt),
+                           jnp.zeros((1, 3), dt), jnp.zeros(1, bool))
+    n_dev = mesh.devices.size
+    axis = mesh.axis_names[0]
+    if count % n_dev:
+        raise ValueError(f"photon count {count} not divisible by {n_dev}")
+    per = count // n_dev
+
+    scene_specs = jax.tree_util.tree_map(lambda _: P(), scene)
+
+    parts = []
+    for li in range(L):
+        def body_fn(scene, key, li=li):
+            shard_i = jax.lax.axis_index(axis)
+            start = shard_i.astype(jnp.uint32) * jnp.uint32(per)
+            kc = jax.random.fold_in(key, shard_i)
+            return _emit_chunk(scene, kc, start, li, per,
+                               cfg=cfg, sampler=sampler)
+
+        fn = shard_map(body_fn, mesh=mesh,
+                       in_specs=(scene_specs, P()),
+                       out_specs=PhotonBatch(P("shard"), P("shard"),
+                                             P("shard"), P("shard")),
+                       check_vma=False)
+        parts.append(jax.jit(fn)(scene, key))
+    return PhotonBatch(
+        jnp.concatenate([p.pos for p in parts]),
+        jnp.concatenate([p.dir for p in parts]),
+        jnp.concatenate([p.col for p in parts]),
+        jnp.concatenate([p.stored for p in parts]))

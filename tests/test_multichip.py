@@ -39,6 +39,65 @@ def test_sharded_wave_matches_single_device():
 
 
 @needs_8
+def test_fused_render_sharded_matches_single_device():
+    """The FULL adaptive multi-wave render (fused while_loop + photon map)
+    sharded over 8 devices must equal the single-device render exactly:
+    every stochastic stream is keyed on global lane ids, so sharding is
+    layout-invariant."""
+    import __graft_entry__ as ge
+    from gi_raytracer_tpu.config import RenderConfig
+    from gi_raytracer_tpu.render import Camera
+    from gi_raytracer_tpu.render.integrator import Renderer
+    from gi_raytracer_tpu.render.photon import trace_photons, build_photon_map
+    from gi_raytracer_tpu.parallel import make_mesh
+    from gi_raytracer_tpu.parallel.mesh import render_fused_sharded
+
+    scene = ge._tiny_scene(np.float32)
+    cfg = RenderConfig(min_samples=2, max_samples=4, max_depth=3,
+                       photons=256, photon_retries=8)
+    cam = Camera(pos=(0.0, 0.0, -14.0), look_at=(0.0, 0.0, 0.0))
+
+    batch = trace_photons(scene, cfg)
+    pm = build_photon_map(batch, np.asarray(scene.world_min),
+                          np.asarray(scene.world_max))
+
+    W = H = 128  # 8 shards x 16 rows
+    r = Renderer(scene, cam, cfg, W, H, photon_map=pm)
+    single = np.asarray(r.render())
+
+    mesh = make_mesh(8)
+    st = render_fused_sharded(r, mesh)
+    sharded = np.asarray(st["mean"])
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+    assert float(st["rays"]) > 0
+
+
+@needs_8
+def test_sharded_photons_match_single_device():
+    """trace_photons_sharded over 8 devices == trace_photons when the
+    single-device chunking equals the shard split (global slot ids)."""
+    import __graft_entry__ as ge
+    from gi_raytracer_tpu.config import RenderConfig
+    from gi_raytracer_tpu.render.photon import (trace_photons,
+                                                trace_photons_sharded)
+    from gi_raytracer_tpu.parallel import make_mesh
+
+    scene = ge._tiny_scene(np.float32)
+    count = 8 * 64
+    cfg = RenderConfig(photons=count, photon_retries=8, ray_chunk=64)
+    single = trace_photons(scene, cfg)
+    mesh = make_mesh(8)
+    sharded = trace_photons_sharded(scene, cfg, mesh)
+    assert np.asarray(single.stored).sum() > 0
+    np.testing.assert_array_equal(np.asarray(single.stored),
+                                  np.asarray(sharded.stored))
+    np.testing.assert_allclose(np.asarray(single.pos),
+                               np.asarray(sharded.pos), rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(single.col),
+                               np.asarray(sharded.col), rtol=1e-6, atol=0)
+
+
+@needs_8
 def test_entry_compiles():
     import __graft_entry__ as ge
     fn, args = ge.entry()
