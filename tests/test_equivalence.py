@@ -1,0 +1,69 @@
+"""Execution-strategy equivalence: the renderer's result must not depend on
+HOW the work is scheduled (fused device loop vs host-stepped waves,
+compacted vs dense wavefronts) — only on the deterministic sample streams."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gi_raytracer_tpu.config import RenderConfig
+from gi_raytracer_tpu.render import Camera
+from gi_raytracer_tpu.render.integrator import Renderer, radiance_wave
+import __graft_entry__ as ge
+
+
+def _setup(compact=False, **kw):
+    scene = ge._tiny_scene(np.float32)
+    cfg = RenderConfig(min_samples=2, max_samples=4, max_depth=3,
+                       compact_wavefront=compact, **kw)
+    cam = Camera(pos=(0.0, 0.0, -14.0), look_at=(0.0, 0.0, 0.0))
+    return scene, cfg, cam
+
+
+def test_fused_loop_matches_host_loop():
+    """One jitted on-device while_loop over waves (the default path) must
+    produce exactly the host-stepped per-wave loop's accumulation state."""
+    scene, cfg, cam = _setup()
+    r = Renderer(scene, cam, cfg, 48, 48)
+    fused, st_f = r.render(return_state=True)
+    hosted, st_h = r.render(on_wave=lambda st, s: None, return_state=True)
+    # the two paths are separately compiled XLA programs; fusion choices
+    # may reassociate float math by 1 ULP — tolerance is a few ULPs, the
+    # CONTROL FLOW (waves run, samples counted, active masks) must be exact
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(hosted),
+                               rtol=0, atol=1e-6)
+    assert int(st_f["wave"]) == int(st_h["wave"])
+    np.testing.assert_array_equal(np.asarray(st_f["samps"]),
+                                  np.asarray(st_h["samps"]))
+    np.testing.assert_array_equal(np.asarray(st_f["active"]),
+                                  np.asarray(st_h["active"]))
+
+
+def test_compaction_on_matches_off():
+    """Alive-first wavefront compaction is a pure scheduling optimization:
+    stochastic streams are keyed on ORIGINAL lane ids, so results with
+    compaction on and off must be bit-identical (jnp backend)."""
+    scene, cfg_off, cam = _setup(compact=False)
+    _, cfg_on, _ = _setup(compact=True)
+    r_off = Renderer(scene, cam, cfg_off, 32, 32)
+    r_on = Renderer(scene, cam, cfg_on, 32, 32)
+    img_off = np.asarray(r_off.render())
+    img_on = np.asarray(r_on.render())
+    np.testing.assert_array_equal(img_off, img_on)
+
+
+def test_lane_base_offsets_streams():
+    """radiance_wave(lane_base=k) must equal slicing a wider wave at [k:] —
+    the property the sharded renderer relies on."""
+    scene, cfg, cam = _setup()
+    r = Renderer(scene, cam, cfg, 16, 16)
+    ro, rd, sx, sy, key = ge._make_wave_inputs(r)
+    full = radiance_wave(scene, cfg, ro, rd, sx, sy, key, 0, None)
+    half = ro.shape[0] // 2
+    lo = radiance_wave(scene, cfg, ro[:half], rd[:half],
+                       sx[:, :half], sy[:, :half], key, 0, None, lane_base=0)
+    hi = radiance_wave(scene, cfg, ro[half:], rd[half:],
+                       sx[:, half:], sy[:, half:], key, 0, None,
+                       lane_base=half)
+    np.testing.assert_array_equal(np.asarray(full[:half]), np.asarray(lo))
+    np.testing.assert_array_equal(np.asarray(full[half:]), np.asarray(hi))
