@@ -1,15 +1,24 @@
 """Benchmark harness — run on real TPU hardware by the driver.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Prints one JSON line per metric; the LAST line is the headline metric:
+  {"metric": "rays_per_s_cornell_512_8spp", "value": N, "unit": "rays/s",
+   "vs_baseline": N}
 
-Metric: rays/s through the full trace+shade wavefront on the cornell scene
-at 512x512, fixed 8 spp, depth 8 (protocol per BASELINE.md).  "Rays" counts
-every traversal query actually issued for an ALIVE lane — primary + bounce
-extensions + shadow rays, from the integrator's own per-bounce counters —
-matching how the reference's trace()/visible() calls would be counted.
-Paths killed by Russian roulette stop counting, exactly as the reference's
-recursion stops issuing queries.
+Protocol (BASELINE.md): cornell at 512x512, fixed 8 spp, depth 8, WITH the
+scene's 750k-photon caustic map (scenes/cornell/test.scn:3) — the same
+work the reference's trace()/visible()/samplePhotons() do per frame.
+
+"Rays" counts every traversal query actually issued for an ALIVE lane —
+primary + bounce extensions + shadow rays, from the integrator's own
+per-bounce counters (integrator.py PathState.n_closest/n_shadow) — NOT a
+W*H*SPP*DEPTH*(1+L) formula: paths killed by Russian roulette stop
+counting, exactly as the reference's recursion stops issuing queries.
+
+Also reported:
+  photons_emitted_per_s  — wavefront emission pass throughput (750k slots)
+  knn_gather_mphotons_per_s — photons returned by the kNN caustic estimate
+    per second at 262k shading points (k=32), the metric BASELINE.md:31
+    names.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the north
 star is >=50x a 32-core CPU running the reference.  We report against a
@@ -37,6 +46,7 @@ DEPTH = 8
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -46,15 +56,51 @@ def main():
     from gi_raytracer_tpu.scene import load_scene
     from gi_raytracer_tpu.render import Camera
     from gi_raytracer_tpu.render.integrator import Renderer
+    from gi_raytracer_tpu.render.photon import (trace_photons,
+                                                build_photon_map,
+                                                sample_photons)
 
     ls = load_scene(SCENE)
     cfg = ls.config.replace(min_samples=SPP, max_samples=SPP,
                             max_depth=DEPTH, adaptive=False)
     cam = Camera(pos=ls.camera_pos, look_at=ls.camera_look_at)
-    r = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT)
 
-    # warmup / compile
-    img, st = r.render(return_state=True)
+    # --- photon pass (cornell requests 750k, test.scn:3) ------------------
+    batch = trace_photons(ls.scene, cfg)   # warmup+compile
+    jax.block_until_ready(batch.pos)
+    t0 = time.time()
+    batch = trace_photons(ls.scene, cfg)
+    jax.block_until_ready(batch.pos)
+    dt_ph = time.time() - t0
+    stored = int(np.asarray(batch.stored).sum())
+    print(json.dumps({"metric": "photons_emitted_per_s",
+                      "value": cfg.photons / dt_ph, "unit": "photons/s",
+                      "stored": stored, "seconds": dt_ph}))
+
+    pm = build_photon_map(batch, np.asarray(ls.scene.world_min),
+                          np.asarray(ls.scene.world_max))
+
+    # --- kNN gather throughput (BASELINE.md:31) ---------------------------
+    R = WIDTH * HEIGHT
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(np.asarray(ls.scene.world_min),
+                                  np.asarray(ls.scene.world_max),
+                                  (R, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    gather = jax.jit(lambda p, d: sample_photons(pm, p, d, cfg.knn_k))
+    jax.block_until_ready(gather(pts, dirs))  # warmup
+    t0 = time.time()
+    jax.block_until_ready(gather(pts, dirs))
+    dt_g = time.time() - t0
+    print(json.dumps({"metric": "knn_gather_mphotons_per_s",
+                      "value": R * cfg.knn_k / dt_g / 1e6,
+                      "unit": "Mphotons/s", "points": R, "k": cfg.knn_k,
+                      "seconds": dt_g}))
+
+    # --- full render with the photon map ----------------------------------
+    r = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT, photon_map=pm)
+    img, st = r.render(return_state=True)   # warmup / compile
     np.asarray(img)
 
     t0 = time.time()
@@ -62,10 +108,6 @@ def main():
     np.asarray(img)
     dt = time.time() - t0
 
-    # HONEST ray count from the integrator's own per-bounce alive/shadow
-    # counters (integrator.py PathState.n_closest/n_shadow, accumulated into
-    # state["rays"] by the fused loop) — NOT the W*H*SPP*DEPTH*(1+L) formula,
-    # which pretends every path survives all bounces.
     rays = float(np.asarray(st["rays"]))
     rays_per_s = rays / dt
     print(json.dumps({
@@ -75,6 +117,7 @@ def main():
         "vs_baseline": rays_per_s / REF_32CORE_RAYS_PER_S,
         "seconds": dt,
         "rays_traced": rays,
+        "with_photon_map": True,
     }))
 
 

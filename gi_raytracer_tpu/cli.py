@@ -37,13 +37,20 @@ def _build(args):
     return ls, cfg, cam
 
 
-def _photon_map(ls, cfg):
+def _photon_map(ls, cfg, devices: int = 1):
     from .render.photon import trace_photons, build_photon_map
 
     if cfg.photons <= 0 or ls.scene.lights.count == 0:
         return None
     t0 = time.time()
-    batch = trace_photons(ls.scene, cfg)
+    if devices > 1:
+        from .parallel import make_mesh
+        from .render.photon import trace_photons_sharded
+        count = cfg.photons - (cfg.photons % devices)
+        batch = trace_photons_sharded(ls.scene, cfg, make_mesh(devices),
+                                      count=count)
+    else:
+        batch = trace_photons(ls.scene, cfg)
     stored = int(np.asarray(batch.stored).sum())
     pm = build_photon_map(batch, np.asarray(ls.scene.world_min),
                           np.asarray(ls.scene.world_max))
@@ -57,9 +64,31 @@ def cmd_render(args):
     from .io import save_png
     from .io.checkpoint import save_checkpoint, load_checkpoint
 
+    if args.distributed:
+        # multi-host entry (jax.distributed.initialize) — every host runs
+        # this same command; the mesh spans all chips of all hosts
+        from .parallel import init_distributed
+        init_distributed()
+
     ls, cfg, cam = _build(args)
-    pm = _photon_map(ls, cfg) if not args.no_photons else None
+    pm = _photon_map(ls, cfg, devices=args.devices) \
+        if not args.no_photons else None
     r = Renderer(ls.scene, cam, cfg, args.width, args.height, photon_map=pm)
+
+    if args.devices > 1 or args.distributed:
+        import jax
+        from .parallel import make_mesh
+        from .parallel.mesh import render_fused_sharded
+        n = args.devices if args.devices > 1 else len(jax.devices())
+        mesh = make_mesh(n)
+        t0 = time.time()
+        st = render_fused_sharded(r, mesh)
+        out = np.asarray(r.tonemap(st["mean"]))
+        print(f"[render] {time.time() - t0:.2f}s sharded over {n} devices "
+              f"({float(st['rays']):.3g} rays)")
+        save_png(args.output, out)
+        print(f"[out] {args.output}")
+        return
 
     import hashlib
     with open(args.scene, "rb") as f:
@@ -180,6 +209,11 @@ def main(argv=None):
         sp.add_argument("--max-depth", type=int, default=0)
         sp.add_argument("--photons", type=int, default=None)
         sp.add_argument("--no-photons", action="store_true")
+        sp.add_argument("--devices", type=int, default=1,
+                        help="shard render+photons over N local devices")
+        sp.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize + "
+                             "mesh over every chip of every host")
         sp.add_argument("--preview", default=None, metavar="PNG",
                         help="write a tonemapped preview after every wave")
         sp.add_argument("--checkpoint", default=None, metavar="NPZ",

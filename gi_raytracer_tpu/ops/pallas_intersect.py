@@ -76,7 +76,11 @@ TRI_CHUNK = 128    # triangles per inner step (lane axis)
 VMEM_TRI_CAP = 150_000  # beyond this the caller should use the jnp path
 ORDER_ROWS = 8     # SMEM block row granularity for the per-tile chunk order
 SHRINK_EVERY = 2   # chunks between collective t-cap refreshes
-PER_RAY_CULL_MAX_CHUNKS = 128  # per-ray slab cull up to this many chunks
+# r3 profile: the (R, n_chunks) per-ray slab cull + tile reduce cost 9 ms
+# per trace at 262k rays x 18 chunks — 62% of the whole trace — while the
+# (n_tiles, n_chunks) conservative interval cull is ~256x less work and
+# loses only entry-bound sharpness the in-kernel early-exit recovers.
+PER_RAY_CULL_MAX_CHUNKS = 0  # per-ray slab cull disabled (kept for A/B)
 
 _BIG = 3.0e38
 _IMAX = 2147483647

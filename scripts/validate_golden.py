@@ -1,0 +1,97 @@
+"""Produce committed side-by-side validation renders vs the reference's
+golden images (full photon budgets, 512px) plus a JSON stats line each.
+
+Run on TPU:   python scripts/validate_golden.py
+Outputs:      docs/validation/{name}_ours.png, {name}_sbs.png, stats.json
+
+The statistical-tolerance versions of these comparisons run in CI at lower
+fidelity (tests/test_golden_images.py); this script generates the
+high-fidelity artifacts the repo commits for human inspection.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+from PIL import Image
+
+REF = "/root/reference"
+OUT = os.path.join(os.path.dirname(__file__), "..", "docs", "validation")
+
+TARGETS = [
+    # name, scene, golden, spp, depth, photons
+    ("cornell", f"{REF}/scenes/cornell/test.scn",
+     f"{REF}/scenes/cornell/render.png", 16, 10, 0),
+    ("cornell_750k", f"{REF}/scenes/cornell/test.scn",
+     f"{REF}/scenes/cornell/render_750k.png", 16, 10, 750_000),
+    ("caustics_02", f"{REF}/scenes/caustics_02/caustics.scn",
+     f"{REF}/examples/caustics/test_16/render_7.5m.png", 16, 8, 7_500_000),
+]
+
+SIZE = 512
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    print(f"READY {float(jnp.ones(2).sum())}", flush=True)
+
+    from gi_raytracer_tpu.scene import load_scene
+    from gi_raytracer_tpu.render import Camera
+    from gi_raytracer_tpu.render.integrator import Renderer
+    from gi_raytracer_tpu.render.photon import trace_photons, build_photon_map
+
+    os.makedirs(OUT, exist_ok=True)
+    stats = {}
+    for name, scn, golden, spp, depth, photons in TARGETS:
+        t0 = time.time()
+        ls = load_scene(scn)
+        cfg = ls.config.replace(min_samples=spp, max_samples=spp,
+                                max_depth=depth, adaptive=False)
+        pm = None
+        if photons:
+            cfg = cfg.replace(photons=photons)
+            batch = trace_photons(ls.scene, cfg)
+            stored = int(np.asarray(batch.stored).sum())
+            pm = build_photon_map(batch, np.asarray(ls.scene.world_min),
+                                  np.asarray(ls.scene.world_max))
+            print(f"[{name}] photons {stored}/{photons} "
+                  f"({time.time() - t0:.1f}s)", flush=True)
+        cam = Camera(pos=ls.camera_pos, look_at=ls.camera_look_at)
+        r = Renderer(ls.scene, cam, cfg, SIZE, SIZE, photon_map=pm)
+        img = np.asarray(r.tonemap(r.render()))
+        dt = time.time() - t0
+        print(f"[{name}] rendered in {dt:.1f}s", flush=True)
+
+        gold = np.asarray(Image.open(golden).convert("RGB").resize(
+            (SIZE, SIZE), Image.BILINEAR), np.float32) / 255.0
+        diff = np.abs(img - gold).mean(axis=-1)
+        stats[name] = {
+            "mean_abs_err": float(diff.mean()),
+            "p95_abs_err": float(np.percentile(diff, 95)),
+            "spp": spp, "depth": depth, "photons": photons,
+            "seconds": dt,
+        }
+        ours = Image.fromarray((img * 255).astype(np.uint8))
+        ours.save(f"{OUT}/{name}_ours.png")
+        sbs = Image.new("RGB", (2 * SIZE + 4, SIZE))
+        sbs.paste(ours, (0, 0))
+        sbs.paste(Image.open(golden).convert("RGB").resize((SIZE, SIZE)),
+                  (SIZE + 4, 0))
+        sbs.save(f"{OUT}/{name}_sbs.png")
+        print(f"[{name}] {json.dumps(stats[name])}", flush=True)
+
+    with open(f"{OUT}/stats.json", "w") as f:
+        json.dump(stats, f, indent=2)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
