@@ -207,9 +207,11 @@ def render_fused_sharded(renderer, mesh: Mesh, state=None):
     pm_specs = (jax.tree_util.tree_map(lambda _: P(), pm)
                 if pm is not None else None)
 
+    N_total = H * W
+
     def body_fn(st, offsets_sh, scene, photon_map):
         shard_i = jax.lax.axis_index(axis)
-        lane_base = shard_i.astype(jnp.uint32) * jnp.uint32(lanes)
+        shard_base = shard_i.astype(jnp.uint32) * jnp.uint32(lanes)
         perm_j = jnp.asarray(perm, jnp.int32)
         inv_j = jnp.asarray(inv_perm, jnp.int32)
 
@@ -227,10 +229,13 @@ def render_fused_sharded(renderer, mesh: Mesh, state=None):
             sx_all, sy_all = bounce_samples(idx)
             k = jax.random.fold_in(jnp.asarray(key_np),
                                    s.astype(jnp.uint32))
+            # global lane id of (wave s, shard, local lane) must equal the
+            # single-device id s*N + global_lane — see Renderer._wave_radiance
             out, (n_c, n_s) = radiance_wave(
-                scene, cfg, ro, rd, sx_all, sy_all, k,
-                s.astype(jnp.uint32) * 65537, photon_map,
-                with_counts=True, lane_base=lane_base)
+                scene, cfg, ro, rd, sx_all, sy_all, k, 0, photon_map,
+                with_counts=True,
+                lane_base=s.astype(jnp.uint32) * jnp.uint32(N_total)
+                + shard_base)
             c = out[inv_j].reshape(Hs, W, 3)
             st2 = r._accumulate(st, c, s)
             rays = st["rays"] + jax.lax.psum(

@@ -98,9 +98,13 @@ def sphere_cap_cos(axis, u, v, power, frac):
 
 
 def random_unit_vec(x, y):
-    """Uniform sphere direction from two uniforms (util.h:183-188)."""
-    theta = jnp.arccos(jnp.clip(2.0 * y - 1.0, -1.0, 1.0))
-    st = jnp.sin(theta)
+    """Uniform sphere direction from two uniforms (util.h:183-188).
+
+    Algebraic form: cos(arccos(z)) = z and sin(arccos(z)) = sqrt(1-z^2),
+    so the reference's arccos/sin pair (two transcendental expansions per
+    lane per bounce) collapses to one sqrt."""
+    z = jnp.clip(2.0 * y - 1.0, -1.0, 1.0)
+    st = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
     return jnp.stack([st * jnp.cos(2.0 * PI * x),
                       st * jnp.sin(2.0 * PI * x),
-                      jnp.cos(theta)], -1)
+                      z], -1)

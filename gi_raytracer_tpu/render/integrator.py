@@ -94,7 +94,7 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
 
 
 def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
-                  sx_all, sy_all, key, wave_salt, photon_map=None,
+                  sx_all, sy_all, key, wave_salt=0, photon_map=None,
                   with_counts: bool = False, lane_base=0):
     """Trace a wave of rays through `max_depth` bounces; returns (R,3)
     radiance (and, with ``with_counts``, the honest per-wave traversal
@@ -103,6 +103,13 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
     sx_all/sy_all: (D, R) per-bounce BSDF sample pairs (QMC dims 2+2d/3+2d,
     raytracer.h:172-173; PRNG beyond the sampler's 256 dims like the
     reference's rand() fallback).
+
+    Every stochastic stream is keyed on (lane_base + lane, purpose, depth):
+    callers make lane ids GLOBALLY unique per (pixel, sample) — e.g.
+    lane_base = wave * n_pixels — so any slicing/batching/sharding of the
+    wavefront reproduces identical decisions.  ``wave_salt`` is an extra
+    constant folded into the per-bounce salt (0 for the renderer; nonzero
+    callers get independent streams).
     """
     R = ro.shape[0]
     dt = ro.dtype
@@ -247,6 +254,15 @@ class Renderer:
                   for y in range(0, height, B) for x in range(0, width, B)]
         self._perm = _np.concatenate(blocks)
         self._inv_perm = _np.argsort(self._perm).astype(_np.int32)
+        # waves traced per fused-loop dispatch (config.wave_size): batching
+        # W waves into one 8x-wider wavefront amortizes every per-dispatch
+        # cost (kernel grids, culls, gathers, scan glue); must divide
+        # max_samples so the adaptive loop's wave arithmetic stays exact
+        wb = max(int(config.wave_size), 1)
+        ms = max(int(config.max_samples), 1)
+        while ms % wb:
+            wb -= 1
+        self._wave_batch = wb
 
     def _bounce_samples(self, idx_flat):
         """(D, R) QMC/PRNG pairs for every bounce (raytracer.h:172-173)."""
@@ -284,9 +300,15 @@ class Renderer:
         ro, rd = primary_rays(self.camera, self.width, self.height, dx, dy)
         sx_all, sy_all = self._bounce_samples(idx_blk)
         key = jax.random.fold_in(self._key, wave_i)
+        N = self.width * self.height
+        # lane ids globally unique per (pixel, sample): wave w pixel p gets
+        # id w*N + p — slicing, batching and sharding all reproduce the
+        # exact same stochastic streams
         out = radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
-                            key, wave_i * 65537, photon_map,
-                            with_counts=with_counts)
+                            key, 0, photon_map,
+                            with_counts=with_counts,
+                            lane_base=jnp.asarray(wave_i).astype(jnp.uint32)
+                            * jnp.uint32(N))
         inv = jnp.asarray(self._inv_perm)
         if with_counts:
             c, counts = out
@@ -329,28 +351,66 @@ class Renderer:
         return {"mean": mean, "var": var, "samps": samps, "active": active,
                 "wave": jnp.asarray(s + 1, jnp.int32), "rays": st["rays"]}
 
+    def _batched_radiance(self, scene, photon_map, first_wave):
+        """Trace waves [first_wave, first_wave + B) as ONE (B*N)-lane
+        wavefront.  Lane ids are globally unique per (pixel, sample)
+        (lane_base = first_wave * N), so every stochastic stream — and
+        therefore the returned radiance — is identical to B separate
+        unbatched waves.  Returns ((B, H, W, 3) raster radiance, counts)."""
+        import numpy as _np
+        B = self._wave_batch
+        H, W = self.height, self.width
+        N = H * W
+        dt = jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
+        offsets = jnp.asarray(_np.asarray(self.enum.offsets)).ravel()
+        inc = jnp.uint32(self.enum.increment)
+        perm = jnp.asarray(self._perm, jnp.int32)
+        waves = (jnp.asarray(first_wave).astype(jnp.uint32)
+                 + jnp.arange(B, dtype=jnp.uint32))
+        idx = (offsets[None, :] + waves[:, None] * inc)[:, perm].ravel()
+        xr = self.sampler.sample(0, idx, self._index_bits).astype(dt)
+        yr = self.sampler.sample(1, idx, self._index_bits).astype(dt)
+        ro, rd = primary_rays(self.camera, W, H,
+                              xr * self.enum.scale_x,
+                              yr * self.enum.scale_y)
+        sx_all, sy_all = self._bounce_samples(idx)
+        key = jax.random.fold_in(self._key, jnp.asarray(first_wave))
+        base = jnp.asarray(first_wave).astype(jnp.uint32) * jnp.uint32(N)
+        out, counts = radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
+                                    key, 0, photon_map, with_counts=True,
+                                    lane_base=base)
+        inv = jnp.asarray(self._inv_perm)
+        c = out.reshape(B, N, 3)[:, inv, :].reshape(B, H, W, 3)
+        return c, counts
+
     @functools.partial(jax.jit, static_argnums=0)
     def _render_fused(self, scene, photon_map, state):
         """The ENTIRE adaptive multi-wave render as one on-device
         `lax.while_loop` — replaces the reference's per-pixel sample loop
         + OpenMP row fan-out (raytracer.h:93-148) with zero host round
-        trips."""
-        import numpy as _np
-        H, W = self.height, self.width
-        offsets = _np.asarray(self.enum.offsets)      # host constant
-        inc = _np.uint32(self.enum.increment)
+        trips.  Each iteration traces `wave_size` QMC waves as one wide
+        wavefront and folds them into the adaptive accumulator
+        sequentially (bitwise-identical to one-wave-at-a-time)."""
+        B = self._wave_batch
 
         def cond(st):
             return (st["wave"] < self.cfg.max_samples) & jnp.any(st["active"])
 
         def body(st):
             s = st["wave"]
-            idx = (jnp.asarray(offsets)
-                   + s.astype(jnp.uint32) * inc).ravel()
-            c, (n_c, n_s) = self._wave_radiance(
-                scene, photon_map, idx, s.astype(jnp.uint32),
-                with_counts=True)
-            st = self._accumulate(st, c.reshape(H, W, 3), s)
+            c, (n_c, n_s) = self._batched_radiance(scene, photon_map, s)
+
+            def fold(st_i, xs):
+                cb, b = xs
+                st2 = self._accumulate(st_i, cb, s + b)
+                # a resume from a wave index not divisible by B can push
+                # the batch past max_samples: those trailing waves must not
+                # touch the accumulator
+                keep = (s + b) < self.cfg.max_samples
+                return jax.tree_util.tree_map(
+                    lambda a, b_: jnp.where(keep, b_, a), st_i, st2), None
+
+            st, _ = jax.lax.scan(fold, st, (c, jnp.arange(B)))
             st["rays"] = st["rays"] + (n_c + n_s).astype(jnp.float32)
             return st
 

@@ -356,6 +356,25 @@ def build_photon_map(batch: PhotonBatch, world_min, world_max,
                      dims=dims, window_cap=window_cap)
 
 
+def _window_occupancy(pm: PhotonMap, point) -> jnp.ndarray:
+    """(R,) photon count over each point's 3x3x3 cell window — 54 cheap
+    int gathers; edge-clamp duplicates overcount (conservative)."""
+    nx, ny, nz = pm.dims
+    g = (point - pm.grid_min[None, :]) * pm.inv_cell[None, :]
+    gi = jnp.clip(g.astype(jnp.int32), 0,
+                  jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32))
+    total = jnp.zeros(point.shape[0], jnp.int32)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                cx = jnp.clip(gi[:, 0] + ox, 0, nx - 1)
+                cy = jnp.clip(gi[:, 1] + oy, 0, ny - 1)
+                cz = jnp.clip(gi[:, 2] + oz, 0, nz - 1)
+                cid = (cx * ny + cy) * nz + cz
+                total = total + (pm.cell_start[cid + 1] - pm.cell_start[cid])
+    return total
+
+
 def sample_photons(pm: PhotonMap, point: jnp.ndarray, direction: jnp.ndarray,
                    k: int, lane_chunk: int = 32768) -> jnp.ndarray:
     """Jensen caustic estimate at shading points (raytracer.h:532-579).
@@ -364,22 +383,47 @@ def sample_photons(pm: PhotonMap, point: jnp.ndarray, direction: jnp.ndarray,
     ``window_cap`` per cell), takes the k nearest, and returns
     sum(col_i * dot(dir_i, direction)) / (pi * r_k^2).
 
-    Lanes are processed in ``lane_chunk`` blocks via `lax.map` so the
-    (R, 27*window_cap) candidate matrices never exceed a bounded HBM
-    footprint regardless of wavefront width or window size.
+    Caustic photons CLUSTER (that is the point of them), so most shading
+    points see an EMPTY window; a cheap occupancy pre-pass compacts the
+    occupied lanes to the front and the expensive candidate gather + top-k
+    runs only on as many ``lane_chunk`` blocks as occupied lanes fill —
+    empty-window lanes return exactly 0, the reference's empty-leaf result
+    (photonMap.cpp:50-66).  Differentiable throughout (scan + cond, no
+    while_loop).
     """
     R = point.shape[0]
-    if R > lane_chunk:
-        pad = (-R) % lane_chunk
-        pts = jnp.pad(point, ((0, pad), (0, 0)))
-        dirs = jnp.pad(direction, ((0, pad), (0, 0)))
-        n_blk = (R + pad) // lane_chunk
-        out = jax.lax.map(
-            lambda ab: _sample_photons_block(pm, ab[0], ab[1], k),
-            (pts.reshape(n_blk, lane_chunk, 3),
-             dirs.reshape(n_blk, lane_chunk, 3)))
-        return out.reshape(R + pad, 3)[:R]
-    return _sample_photons_block(pm, point, direction, k)
+    B = min(lane_chunk, max(R, 1))
+    pad = (-R) % B
+    n_blk = (R + pad) // B
+
+    occ = _window_occupancy(pm, point)
+    nonzero = occ > 0
+    a = nonzero.astype(jnp.int32)
+    n_occ = jnp.sum(a)
+    c_t = jnp.cumsum(a) - a
+    c_f = jnp.cumsum(1 - a) - (1 - a)
+    dest = jnp.where(nonzero, c_t, n_occ + c_f)   # stable occupied-first
+
+    def put(x):
+        y = jnp.zeros_like(x).at[dest].set(x, unique_indices=True)
+        return jnp.pad(y, ((0, pad), (0, 0)))
+
+    pts = put(point)
+    dirs = put(direction)
+    blocks_needed = (n_occ + B - 1) // B
+
+    def step(_, xs):
+        b, p_b, d_b = xs
+        est = jax.lax.cond(
+            b < blocks_needed,
+            lambda: _sample_photons_block(pm, p_b, d_b, k),
+            lambda: jnp.zeros((B, 3), point.dtype))
+        return None, est
+
+    _, out = jax.lax.scan(step, None,
+                          (jnp.arange(n_blk), pts.reshape(n_blk, B, 3),
+                           dirs.reshape(n_blk, B, 3)))
+    return out.reshape(n_blk * B, 3)[dest]
 
 
 def _sample_photons_block(pm: PhotonMap, point, direction, k):

@@ -52,6 +52,24 @@ def test_compaction_on_matches_off():
     np.testing.assert_array_equal(img_off, img_on)
 
 
+def test_wave_batching_matches_single_waves():
+    """wave_size=B traces B waves as one (B*N)-lane wavefront; globally
+    unique lane ids make it bitwise the same estimator as B separate
+    waves (modulo XLA reassociation)."""
+    scene, cfg1, cam = _setup()
+    cfg1 = cfg1.replace(wave_size=1)
+    cfgB = cfg1.replace(wave_size=4)
+    r1 = Renderer(scene, cam, cfg1, 32, 32)
+    rB = Renderer(scene, cam, cfgB, 32, 32)
+    assert rB._wave_batch == 4 and r1._wave_batch == 1
+    img1, st1 = r1.render(return_state=True)
+    imgB, stB = rB.render(return_state=True)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(imgB),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st1["samps"]),
+                                  np.asarray(stB["samps"]))
+
+
 def test_lane_base_offsets_streams():
     """radiance_wave(lane_base=k) must equal slicing a wider wave at [k:] —
     the property the sharded renderer relies on."""
