@@ -29,7 +29,13 @@ class RenderConfig:
     max_samples: int = 32            # SAMPLES
     noise_thresh: float = 0.0015     # NOISE_THRESH
     adaptive: bool = True            # min==max or False disables adaptivity
-    wave_size: int = 4               # samples rendered per adaptive wave
+    wave_size: int = 1               # fixed-spp waves traced per fused-loop
+                                     # dispatch; measured on the target TPU:
+                                     # costs scale linearly with lanes (no
+                                     # per-dispatch overhead to amortize), so
+                                     # 1 is fastest (B=8 was 11% slower);
+                                     # raise only if a future platform shows
+                                     # fixed dispatch costs
 
     # --- photon mapping (util.h:27-28, raytracer.h:721-722) ---
     photons: int = 75_000            # PHOTONS

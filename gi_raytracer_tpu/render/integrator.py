@@ -95,7 +95,7 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
 
 def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
                   sx_all, sy_all, key, wave_salt=0, photon_map=None,
-                  with_counts: bool = False, lane_base=0):
+                  with_counts: bool = False, lane_base=0, lane_ids=None):
     """Trace a wave of rays through `max_depth` bounces; returns (R,3)
     radiance (and, with ``with_counts``, the honest per-wave traversal
     counts: alive closest-hit lanes and issued shadow-ray lanes).
@@ -135,7 +135,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
     # cheaper per bounce at 262k lanes.  ``lane_base`` offsets the ids when
     # this wave is a shard of a larger one, keeping every stochastic stream
     # identical to the single-device layout.
-    lane_u32 = (jnp.asarray(lane_base).astype(jnp.uint32)
+    lane_u32 = (lane_ids.astype(jnp.uint32) if lane_ids is not None
+                else jnp.asarray(lane_base).astype(jnp.uint32)
                 + jnp.arange(R, dtype=jnp.uint32))
 
     def _u(purpose, salt):
@@ -383,20 +384,96 @@ class Renderer:
         c = out.reshape(B, N, 3)[:, inv, :].reshape(B, H, W, 3)
         return c, counts
 
+    def _block_adaptive_wave(self, scene, photon_map, st):
+        """One adaptive wave that traces ONLY the 16x16 pixel blocks still
+        active (the reference stops per-PIXEL work, raytracer.h:108-148;
+        dense SPMD stops per-BLOCK): active blocks are compacted to the
+        front and processed in fixed-size groups, groups past the active
+        count skipped — converged regions cost nothing, and the honest ray
+        counters shrink accordingly."""
+        import numpy as _np
+        H, W = self.height, self.width
+        N = H * W
+        n_blocks = N // 256
+        # blocks per group: <=32k lanes, >=8 groups so skipping has
+        # granularity even on small frames
+        G = max(min(128, n_blocks // 8), 1)
+        n_groups = -(-n_blocks // G)
+        dt = jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
+        offsets = jnp.asarray(_np.asarray(self.enum.offsets)).ravel()
+        inc = jnp.uint32(self.enum.increment)
+        perm = jnp.asarray(self._perm, jnp.int32)
+        s = st["wave"]
+
+        # block activity in trace (block-major) order
+        act_blk = jnp.any(st["active"].reshape(H // 16, 16, W // 16, 16),
+                          axis=(1, 3)).ravel()
+        order = jnp.argsort(~act_blk, stable=True).astype(jnp.int32)
+        n_act = jnp.sum(act_blk.astype(jnp.int32))
+        groups_needed = -(-n_act // G)
+
+        idx_all = (offsets + s.astype(jnp.uint32) * inc)[perm]
+        idx_blocks = idx_all.reshape(n_blocks, 256)
+        base = s.astype(jnp.uint32) * jnp.uint32(N)
+        key = jax.random.fold_in(self._key, s)
+
+        def group(g, blk_ids):
+            idx = idx_blocks[blk_ids].reshape(G * 256)
+            lane_ids = (base + blk_ids[:, None].astype(jnp.uint32) * 256
+                        + jnp.arange(256, dtype=jnp.uint32)[None, :]
+                        ).reshape(G * 256)
+            xr = self.sampler.sample(0, idx, self._index_bits).astype(dt)
+            yr = self.sampler.sample(1, idx, self._index_bits).astype(dt)
+            ro, rd = primary_rays(self.camera, W, H,
+                                  xr * self.enum.scale_x,
+                                  yr * self.enum.scale_y)
+            sx_all, sy_all = self._bounce_samples(idx)
+            return radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
+                                 key, 0, photon_map, with_counts=True,
+                                 lane_ids=lane_ids)
+
+        def step(carry, g):
+            c_blocks, rays = carry
+            blk_ids = jax.lax.dynamic_slice(order, (g * G,), (G,))
+            out, (n_c, n_s) = jax.lax.cond(
+                g < groups_needed,
+                lambda: group(g, blk_ids),
+                lambda: (jnp.zeros((G * 256, 3), dt),
+                         (jnp.int32(0), jnp.int32(0))))
+            c_blocks = c_blocks.at[blk_ids].set(out.reshape(G, 256, 3))
+            return (c_blocks, rays + (n_c + n_s).astype(jnp.float32)), None
+
+        c0 = jnp.zeros((n_blocks, 256, 3), dt)
+        (c_blocks, rays_inc), _ = jax.lax.scan(
+            step, (c0, jnp.float32(0.0)), jnp.arange(n_groups))
+        inv = jnp.asarray(self._inv_perm)
+        c = c_blocks.reshape(N, 3)[inv].reshape(H, W, 3)
+        st = self._accumulate(st, c, s)
+        st["rays"] = st["rays"] + rays_inc
+        return st
+
     @functools.partial(jax.jit, static_argnums=0)
     def _render_fused(self, scene, photon_map, state):
         """The ENTIRE adaptive multi-wave render as one on-device
         `lax.while_loop` — replaces the reference's per-pixel sample loop
         + OpenMP row fan-out (raytracer.h:93-148) with zero host round
-        trips.  Each iteration traces `wave_size` QMC waves as one wide
-        wavefront and folds them into the adaptive accumulator
-        sequentially (bitwise-identical to one-wave-at-a-time)."""
+        trips.  Fixed-spp renders trace `wave_size` QMC waves per
+        iteration as one wide wavefront (bitwise-identical to
+        one-wave-at-a-time); adaptive renders instead skip converged 16x16
+        blocks entirely (`_block_adaptive_wave`)."""
         B = self._wave_batch
+        adaptive = (self.cfg.adaptive
+                    and self.cfg.max_samples > self.cfg.min_samples
+                    and (self.height * self.width) % 256 == 0
+                    and self.height % 16 == 0 and self.width % 16 == 0)
 
         def cond(st):
             return (st["wave"] < self.cfg.max_samples) & jnp.any(st["active"])
 
-        def body(st):
+        def body_adaptive(st):
+            return self._block_adaptive_wave(scene, photon_map, st)
+
+        def body_batched(st):
             s = st["wave"]
             c, (n_c, n_s) = self._batched_radiance(scene, photon_map, s)
 
@@ -414,6 +491,7 @@ class Renderer:
             st["rays"] = st["rays"] + (n_c + n_s).astype(jnp.float32)
             return st
 
+        body = body_adaptive if adaptive else body_batched
         return jax.lax.while_loop(cond, body, state)
 
     def render(self, verbose: bool = False, on_wave=None, state=None,

@@ -70,6 +70,29 @@ def test_wave_batching_matches_single_waves():
                                   np.asarray(stB["samps"]))
 
 
+def test_block_adaptive_skips_converged_blocks():
+    """Adaptive waves must trace ONLY still-active 16x16 blocks: with one
+    active block, a wave's honest ray count is a small fraction of a full
+    wave (the reference stops per-pixel work, raytracer.h:108-148)."""
+    import jax.numpy as jnp
+    scene, cfg, cam = _setup()
+    cfg = cfg.replace(min_samples=2, max_samples=8, adaptive=True,
+                      max_depth=3)
+    r = Renderer(scene, cam, cfg, 64, 64)
+    st = r.state0()
+    full = r._block_adaptive_wave(scene, None, st)
+    full_rays = float(full["rays"])
+
+    one = r.state0()
+    act = np.zeros((64, 64), bool)
+    act[0:16, 0:16] = True
+    one["active"] = jnp.asarray(act)
+    out = r._block_adaptive_wave(scene, None, one)
+    few_rays = float(out["rays"])
+    assert few_rays < 0.3 * full_rays, (few_rays, full_rays)
+    assert few_rays > 0
+
+
 def test_lane_base_offsets_streams():
     """radiance_wave(lane_base=k) must equal slicing a wider wave at [k:] —
     the property the sharded renderer relies on."""
