@@ -24,12 +24,13 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "docs", "validation")
 
 TARGETS = [
     # name, scene, golden, spp, depth, photons
+    # (ordered safest-first: photon-map renders stress the device longest)
     ("cornell", f"{REF}/scenes/cornell/test.scn",
      f"{REF}/scenes/cornell/render.png", 16, 10, 0),
-    ("cornell_750k", f"{REF}/scenes/cornell/test.scn",
-     f"{REF}/scenes/cornell/render_750k.png", 16, 10, 750_000),
     ("caustics_02", f"{REF}/scenes/caustics_02/caustics.scn",
      f"{REF}/examples/caustics/test_16/render_7.5m.png", 16, 8, 7_500_000),
+    ("cornell_750k", f"{REF}/scenes/cornell/test.scn",
+     f"{REF}/scenes/cornell/render_750k.png", 16, 10, 750_000),
 ]
 
 SIZE = 512
