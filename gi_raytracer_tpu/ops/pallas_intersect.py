@@ -49,9 +49,9 @@ OUTSIDE the kernel for the winner only — one MT evaluation per ray — which
 is also what makes the op differentiable for free (the selection is an int;
 the values are ordinary jnp math on scene.tris and the rays).
 
-The feature SoA lives in VMEM ((17, T) layout, ~68 B/tri), good to ~150k
-triangles — beyond that the caller falls back to the jnp traversal
-(ops.intersect).
+The feature SoA lives in VMEM ((10, T) layout, 40 B/tri — the derived MT
+features are recomputed per chunk in-kernel), good to ~300k triangles —
+beyond that the caller falls back to the jnp traversal (ops.intersect).
 
 Stochastic alpha acceptance (reference include/raytracer.h:455,297) is done
 in-kernel with a counter-based hash of (ray id, prim id, salt) — identical
@@ -73,7 +73,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 RAY_TILE = 256     # rays per grid step (sublane axis)
 TRI_CHUNK = 128    # triangles per inner step (lane axis)
-VMEM_TRI_CAP = 150_000  # beyond this the caller should use the jnp path
+VMEM_TRI_CAP = 300_000  # beyond this the caller should use the jnp path
+# the feature SoA carries only (v0, e1, e2, accept) = 10 rows (40 B/tri);
+# the separable-MT features (n2, f_u, f_v, d0) are derived per (tile,
+# chunk) INSIDE the kernel from (1,128) vectors — ~40 VPU ops amortized
+# over the 256-ray tile, which doubles the VMEM triangle capacity for free
 ORDER_ROWS = 8     # SMEM block row granularity for the per-tile chunk order
 SHRINK_EVERY = 2   # chunks between collective t-cap refreshes
 # r3 profile: the (R, n_chunks) per-ray slab cull + tile reduce cost 9 ms
@@ -106,7 +110,8 @@ def _kernel(salt_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
     order_ref (ORDER_ROWS, ncp) i32 SMEM: per-tile entry-sorted chunk order
     entry_ref (ORDER_ROWS, ncp) f32 SMEM: sorted min entry distances
     cap0_ref (ORDER_ROWS, 1) f32 SMEM: initial per-tile t cap
-    feat_ref (17, T_pad): rows n2(3) e1(3) e2(3) f_u(3) f_v(3) d0 accept
+    feat_ref (10, T_pad): rows v0(3) e1(3) e2(3) accept (MT features
+        derived per chunk in-kernel)
     out_t_ref (RT, 1) f32 approx hit t; prim_ref (RT, 1) i32
     """
     RT = RAY_TILE
@@ -137,22 +142,28 @@ def _kernel(salt_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
     def tested(i, best_t, best_c, t_cap):
         c = order_ref[row, i]
         sl = pl.ds(c * CK, CK)
-        n2x = feat_ref[0, sl].reshape(1, CK)
-        n2y = feat_ref[1, sl].reshape(1, CK)
-        n2z = feat_ref[2, sl].reshape(1, CK)
+        v0x = feat_ref[0, sl].reshape(1, CK)
+        v0y = feat_ref[1, sl].reshape(1, CK)
+        v0z = feat_ref[2, sl].reshape(1, CK)
         e1x = feat_ref[3, sl].reshape(1, CK)
         e1y = feat_ref[4, sl].reshape(1, CK)
         e1z = feat_ref[5, sl].reshape(1, CK)
         e2x = feat_ref[6, sl].reshape(1, CK)
         e2y = feat_ref[7, sl].reshape(1, CK)
         e2z = feat_ref[8, sl].reshape(1, CK)
-        fux = feat_ref[9, sl].reshape(1, CK)
-        fuy = feat_ref[10, sl].reshape(1, CK)
-        fuz = feat_ref[11, sl].reshape(1, CK)
-        fvx = feat_ref[12, sl].reshape(1, CK)
-        fvy = feat_ref[13, sl].reshape(1, CK)
-        fvz = feat_ref[14, sl].reshape(1, CK)
-        d0 = feat_ref[15, sl].reshape(1, CK)
+        # derive the separable-MT features per chunk (amortized over the
+        # 256-ray tile): n2 = e1 x e2, f_u = v0 x e2, f_v = v0 x e1,
+        # d0 = v0 . n2
+        n2x = e1y * e2z - e1z * e2y
+        n2y = e1z * e2x - e1x * e2z
+        n2z = e1x * e2y - e1y * e2x
+        fux = v0y * e2z - v0z * e2y
+        fuy = v0z * e2x - v0x * e2z
+        fuz = v0x * e2y - v0y * e2x
+        fvx = v0y * e1z - v0z * e1y
+        fvy = v0z * e1x - v0x * e1z
+        fvz = v0x * e1y - v0y * e1x
+        d0 = v0x * n2x + v0y * n2y + v0z * n2z
 
         m = dx * n2x + dy * n2y + dz * n2z          # rd·n2 = -det
         sm = jnp.where(m >= 0.0, 1.0, -1.0)
@@ -173,7 +184,7 @@ def _kernel(salt_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
 
         if not all_opaque:
             # stochastic alpha (raytracer.h:455): hash(ray, prim, salt)
-            accept = feat_ref[16, sl].reshape(1, CK)
+            accept = feat_ref[9, sl].reshape(1, CK)
             prim_g = (c.astype(jnp.uint32) * jnp.uint32(CK)
                       + jax.lax.broadcasted_iota(jnp.uint32, (RT, CK), 1))
             h = _mix32(rid * jnp.uint32(0x9E3779B9)
@@ -294,7 +305,7 @@ def _chunk_cull(cbox, ro, rd, t_eff, active, n_chunks, diag):
                                               "interpret"))
 def _dense_trace(feat, cbox, ro, rd, t_lim, active, rid, salt, diag,
                  any_hit=False, eps=1e-5, all_opaque=False, interpret=False):
-    """feat (17, T_pad), cbox (8, n_chunks_pad), rays (R,3) padded to
+    """feat (10, T_pad), cbox (8, n_chunks_pad), rays (R,3) padded to
     RAY_TILE multiple.  Returns (t_approx (R,), prim (R,))."""
     R = ro.shape[0]
     n_tiles = R // RAY_TILE
@@ -360,10 +371,11 @@ def _dense_trace(feat, cbox, ro, rd, t_lim, active, rid, salt, diag,
 
 
 def build_tri_features(scene):
-    """(17, T_pad) separable-MT feature SoA + (8, n_chunks_pad) chunk bboxes
-    from the (BVH-leaf-ordered) scene triangle arrays.  jnp; cheap;
-    jit-safe; differentiable into scene.tris (only used for the winner's
-    exact recompute — the kernel consumes it as data)."""
+    """(10, T_pad) triangle SoA (v0, e1, e2, accept) + (8, n_chunks_pad)
+    chunk bboxes from the (BVH-leaf-ordered) scene triangle arrays.  jnp;
+    cheap; jit-safe; differentiable into scene.tris (only used for the
+    winner's exact recompute — the kernel consumes it as data).  The
+    derived MT features are computed in-kernel per chunk."""
     tr = scene.tris
     T = tr.v0.shape[0]
     pad = (-T) % TRI_CHUNK
@@ -373,22 +385,16 @@ def build_tri_features(scene):
                        scene.materials.opacity[tr.mat_id])
 
     v0, e1, e2 = tr.v0, tr.e1, tr.e2
-    n2 = jnp.cross(e1, e2)
-    f_u = jnp.cross(v0, e2)
-    f_v = jnp.cross(v0, e1)
-    d0 = jnp.sum(v0 * n2, -1)
 
     def row(x):
         return jnp.pad(x.astype(f32), (0, pad))
 
     feat = jnp.stack([
-        row(n2[:, 0]), row(n2[:, 1]), row(n2[:, 2]),
+        row(v0[:, 0]), row(v0[:, 1]), row(v0[:, 2]),
         row(e1[:, 0]), row(e1[:, 1]), row(e1[:, 2]),
         row(e2[:, 0]), row(e2[:, 1]), row(e2[:, 2]),
-        row(f_u[:, 0]), row(f_u[:, 1]), row(f_u[:, 2]),
-        row(f_v[:, 0]), row(f_v[:, 1]), row(f_v[:, 2]),
-        row(d0),
         jnp.pad(accept.astype(f32), (0, pad), constant_values=-1.0),
+        jnp.zeros(T + pad, f32),   # padding row: keep sublane count even
     ])
 
     # chunk bounds over all 3 triangle vertices
