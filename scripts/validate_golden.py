@@ -36,6 +36,25 @@ TARGETS = [
 SIZE = 512
 
 
+def _cornell_fog_scene():
+    """Cornell + a heightFog line (the caustics_02 template), staged into a
+    tmp dir with the reference OBJs symlinked.  The reference's
+    render_atmosphere.png parameters are NOT recorded in any scn
+    (atmosphere.h:30-83 defaults were set in code at render time), so the
+    comparison is qualitative: fog presence, light shafts, brightness
+    lift."""
+    import tempfile, glob
+    d = tempfile.mkdtemp(prefix="cornell_fog_")
+    for f in glob.glob(f"{REF}/scenes/cornell/*.obj"):
+        os.symlink(f, os.path.join(d, os.path.basename(f)))
+    src = open(f"{REF}/scenes/cornell/test.scn").read()
+    src += "\nheightFog 4 3.4 0 16 8 8.4 1 1 1 1.5 .5 4\n"
+    path = os.path.join(d, "test_fog.scn")
+    with open(path, "w") as f:
+        f.write(src)
+    return path
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
@@ -51,7 +70,11 @@ def main():
 
     os.makedirs(OUT, exist_ok=True)
     stats = {}
-    for name, scn, golden, spp, depth, photons in TARGETS:
+    targets = TARGETS + [
+        ("cornell_fog", _cornell_fog_scene(),
+         f"{REF}/scenes/cornell/render_atmosphere.png", 4, 6, 0),
+    ]
+    for name, scn, golden, spp, depth, photons in targets:
         t0 = time.time()
         ls = load_scene(scn)
         cfg = ls.config.replace(min_samples=spp, max_samples=spp,
