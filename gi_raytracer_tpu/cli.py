@@ -119,11 +119,21 @@ def cmd_render(args):
 
     hook = on_wave if (args.preview or args.checkpoint) else None
     t0 = time.time()
-    img = r.render(verbose=args.verbose, on_wave=hook, state=state)
-    out = np.asarray(r.tonemap(img))
+    if args.profile:
+        import jax
+        with jax.profiler.trace(args.profile):
+            img, st = r.render(verbose=args.verbose, on_wave=hook,
+                               state=state, return_state=True)
+            out = np.asarray(r.tonemap(img))
+        print(f"[profile] xplane trace written to {args.profile}")
+    else:
+        img, st = r.render(verbose=args.verbose, on_wave=hook, state=state,
+                           return_state=True)
+        out = np.asarray(r.tonemap(img))
     dt = time.time() - t0
-    rays = args.width * args.height * cfg.max_samples
-    print(f"[render] {dt:.2f}s ({rays / dt / 1e6:.2f} Mpaths/s upper bound)")
+    rays = float(np.asarray(st["rays"]))
+    print(f"[render] {dt:.2f}s — {rays:.3g} rays traced "
+          f"({rays / dt / 1e6:.2f} Mrays/s honest)")
     save_png(args.output, out)
     print(f"[out] {args.output}")
 
@@ -220,6 +230,8 @@ def main(argv=None):
                         help="save accumulation state after every wave")
         sp.add_argument("--resume", action="store_true",
                         help="resume from --checkpoint if it exists")
+        sp.add_argument("--profile", default=None, metavar="DIR",
+                        help="capture a jax.profiler trace of the render")
         sp.add_argument("-v", "--verbose", action="store_true")
         sp.set_defaults(fn=fn)
     args = p.parse_args(argv)
