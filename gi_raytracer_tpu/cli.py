@@ -132,8 +132,13 @@ def cmd_render(args):
         out = np.asarray(r.tonemap(img))
     dt = time.time() - t0
     rays = float(np.asarray(st["rays"]))
-    print(f"[render] {dt:.2f}s — {rays:.3g} rays traced "
-          f"({rays / dt / 1e6:.2f} Mrays/s honest)")
+    if rays > 0:   # fused path tracks honest per-bounce counters
+        print(f"[render] {dt:.2f}s — {rays:.3g} rays traced "
+              f"({rays / dt / 1e6:.2f} Mrays/s honest)")
+    else:          # host-stepped preview path has no counters
+        paths = args.width * args.height * cfg.max_samples
+        print(f"[render] {dt:.2f}s ({paths / dt / 1e6:.2f} Mpaths/s "
+              f"upper bound)")
     save_png(args.output, out)
     print(f"[out] {args.output}")
 
