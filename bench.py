@@ -98,13 +98,31 @@ def main():
                       "unit": "Mphotons/s", "points": R, "k": cfg.knn_k,
                       "seconds": dt_g}))
 
-    # --- full render with the photon map ----------------------------------
+    # --- render WITHOUT the map (r2-comparable trace+shade number) --------
+    r0 = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT)
+    img, st = r0.render(return_state=True)
+    np.asarray(img)
+    t0 = time.time()
+    img, st = r0.render(return_state=True)
+    np.asarray(img)
+    dt0 = time.time() - t0
+    rays0 = float(np.asarray(st["rays"]))
+    print(json.dumps({
+        "metric": "rays_per_s_cornell_512_8spp_nophotons",
+        "value": rays0 / dt0, "unit": "rays/s", "seconds": dt0,
+        "rays_traced": rays0,
+    }))
+
+    # --- full render WITH the 750k photon map (the reference's workload) --
+    # host-stepped waves: one XLA program per wave keeps each device
+    # dispatch short (the tunneled TPU kills very long programs)
     r = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT, photon_map=pm)
-    img, st = r.render(return_state=True)   # warmup / compile
+    hook = lambda st_, s_: None
+    img, st = r.render(return_state=True, on_wave=hook)   # warmup
     np.asarray(img)
 
     t0 = time.time()
-    img, st = r.render(return_state=True)
+    img, st = r.render(return_state=True, on_wave=hook)
     np.asarray(img)
     dt = time.time() - t0
 

@@ -321,6 +321,13 @@ class Renderer:
         """One full-frame sample wave -> (H*W, 3) radiance."""
         return self._wave_radiance(scene, photon_map, idx_flat, wave_i)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _wave_counted(self, scene, photon_map, idx_flat, wave_i):
+        """Like _wave but also returns the honest (closest, shadow) ray
+        counts so the host-stepped loop can track state["rays"]."""
+        return self._wave_radiance(scene, photon_map, idx_flat, wave_i,
+                                   with_counts=True)
+
     def state0(self):
         """Fresh accumulation state (the reference's per-pixel running
         mean/EMA-variance/sample counters, raytracer.h:100-148, as images)."""
@@ -520,9 +527,11 @@ class Renderer:
         first = int(st["wave"])
         for s in range(first, cfg.max_samples):
             idx = self.enum.index_image(s).ravel()
-            c = self._wave(self.scene, self.photon_map, idx,
-                           jnp.uint32(s)).reshape(H, W, 3)
+            c, (n_c, n_s) = self._wave_counted(self.scene, self.photon_map,
+                                               idx, jnp.uint32(s))
+            c = c.reshape(H, W, 3)
             st = self._accumulate(st, c, jnp.asarray(s))
+            st["rays"] = st["rays"] + (n_c + n_s).astype(jnp.float32)
             if verbose:
                 print(f"wave {s}: active {int(st['active'].sum())}/{H * W}")
             if on_wave is not None:

@@ -90,7 +90,11 @@ def main():
                   f"({time.time() - t0:.1f}s)", flush=True)
         cam = Camera(pos=ls.camera_pos, look_at=ls.camera_look_at)
         r = Renderer(ls.scene, cam, cfg, SIZE, SIZE, photon_map=pm)
-        img = np.asarray(r.tonemap(r.render()))
+        # photon/fog renders host-step the waves: one short XLA program per
+        # wave (the tunneled TPU kills very long single programs)
+        hook = (lambda st, s_: None) if (pm is not None or
+                                         ls.scene.has_fog) else None
+        img = np.asarray(r.tonemap(r.render(on_wave=hook)))
         dt = time.time() - t0
         print(f"[{name}] rendered in {dt:.1f}s", flush=True)
 
