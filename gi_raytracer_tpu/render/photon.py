@@ -381,7 +381,7 @@ def _window_occupancy(pm: PhotonMap, point) -> jnp.ndarray:
 
 
 def sample_photons(pm: PhotonMap, point: jnp.ndarray, direction: jnp.ndarray,
-                   k: int, lane_chunk: int = 32768) -> jnp.ndarray:
+                   k: int, lane_chunk: int | None = None) -> jnp.ndarray:
     """Jensen caustic estimate at shading points (raytracer.h:532-579).
 
     Gathers candidates from the 3x3x3 cell window around each point (up to
@@ -397,6 +397,13 @@ def sample_photons(pm: PhotonMap, point: jnp.ndarray, direction: jnp.ndarray,
     while_loop).
     """
     R = point.shape[0]
+    if lane_chunk is None:
+        # bound the (B, 27*cap) candidate intermediates to ~16M entries
+        # (x3 coords x4 bytes ≈ 200 MB peak) — big windows OOM'd the device
+        # at a fixed 32k block
+        window = 27 * max(int(pm.window_cap), 1)
+        lane_chunk = int(np.clip(2 ** int(np.log2(
+            max(16_777_216 // window, 1024))), 1024, 32768))
     B = min(lane_chunk, max(R, 1))
     pad = (-R) % B
     n_blk = (R + pad) // B
