@@ -141,12 +141,15 @@ def main():
     except Exception as e:
         # the tunneled dev TPU sometimes kills long photon-gather programs;
         # report the trace+shade number honestly labeled rather than dying
-        # with no headline at all
+        # with no headline at all.  The fallback uses a DISTINCT metric name
+        # (the documented protocol for the headline name is WITH the map)
+        # and a null vs_baseline so consumers keying on the headline name
+        # never compare incommensurable numbers.
         print(json.dumps({
-            "metric": "rays_per_s_cornell_512_8spp",
+            "metric": "rays_per_s_cornell_512_8spp_nophotons_fallback",
             "value": rays0 / dt0,
             "unit": "rays/s",
-            "vs_baseline": rays0 / dt0 / REF_32CORE_RAYS_PER_S,
+            "vs_baseline": None,
             "seconds": dt0,
             "rays_traced": rays0,
             "with_photon_map": False,

@@ -62,6 +62,9 @@ class RenderConfig:
     # --- execution ---
     dtype: str = "float32"           # compute dtype ("float32"|"float64")
     intersect_backend: str = "auto"  # "auto"|"pallas"|"jnp"
+    knn_backend: str = "auto"        # photon kNN gather: "auto"|"pallas"|"jnp"
+                                     # (auto = tiled Pallas kernel on TPU,
+                                     # per-point jnp path elsewhere)
     compact_wavefront: bool = False  # alive-first lane compaction before each
                                      # trace: wins on open scenes / photon
                                      # passes (many dead lanes), costs ~13%

@@ -394,7 +394,6 @@ def build_tri_features(scene):
         row(e1[:, 0]), row(e1[:, 1]), row(e1[:, 2]),
         row(e2[:, 0]), row(e2[:, 1]), row(e2[:, 2]),
         jnp.pad(accept.astype(f32), (0, pad), constant_values=-1.0),
-        jnp.zeros(T + pad, f32),   # padding row: keep sublane count even
     ])
 
     # chunk bounds over all 3 triangle vertices
@@ -443,9 +442,13 @@ def _exact_hit(scene, ro, rd, prim, eps):
 
 def pallas_prim_query(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
                       active=None, ray_id=None, any_hit=False,
-                      interpret=False):
+                      interpret=None):
     """Raw kernel query: (approx_t (R,), prim (R,)) for the winning
-    triangle per ray (-1 = miss).  Exact values are the caller's job."""
+    triangle per ray (-1 = miss).  Exact values are the caller's job.
+    ``interpret=None`` auto-selects interpreter mode off-TPU so the
+    Pallas backend is testable on the CPU mesh."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     R = ro.shape[0]
     dt = jnp.float32
     pad = (-R) % RAY_TILE
@@ -482,7 +485,7 @@ def pallas_prim_query(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
 
 def pallas_closest_hit(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
                        active=None, ray_id=None, any_hit=False,
-                       interpret=False, differentiable=True):
+                       interpret=None, differentiable=True):
     """Drop-in closest-hit/any-hit over the Pallas dense kernel.
     Returns the same Hit tuple as ops.intersect.closest_hit (triangles
     only — the caller layers the dense sphere/cone passes on top).

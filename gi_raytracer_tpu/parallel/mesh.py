@@ -199,8 +199,8 @@ def render_fused_sharded(renderer, mesh: Mesh, state=None):
     state = state if state is not None else r.state0()
     state = dict(state, go=jnp.asarray(True))
 
-    state_specs = {"mean": P("shard"), "var": P("shard"),
-                   "samps": P("shard"), "active": P("shard"),
+    state_specs = {"mean": P(axis), "var": P(axis),
+                   "samps": P(axis), "active": P(axis),
                    "wave": P(), "rays": P(), "go": P()}
     scene_specs = jax.tree_util.tree_map(lambda _: P(), r.scene)
     pm = r.photon_map
@@ -247,7 +247,7 @@ def render_fused_sharded(renderer, mesh: Mesh, state=None):
         return jax.lax.while_loop(cond, body, st)
 
     fn = shard_map(body_fn, mesh=mesh,
-                   in_specs=(state_specs, P("shard"), scene_specs, pm_specs),
+                   in_specs=(state_specs, P(axis), scene_specs, pm_specs),
                    out_specs=state_specs, check_vma=False)
     out = jax.jit(fn)(state, jnp.asarray(offsets), r.scene, pm)
     out.pop("go", None)

@@ -189,8 +189,9 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
                                  ray_id=lane_u32)
 
         if photon_map is not None:
-            from .photon import sample_photons
-            caustic = sample_photons(photon_map, point, out_dir, cfg.knn_k)
+            from .photon import sample_photons_backend
+            caustic = sample_photons_backend(photon_map, point, out_dir,
+                                             cfg.knn_k, cfg.knn_backend)
             caustic = jnp.where(depth <= cfg.caustic_max_depth, caustic, 0.0)
         else:
             caustic = jnp.zeros_like(color)
@@ -442,13 +443,20 @@ class Renderer:
         def step(carry, g):
             c_blocks, rays = carry
             blk_ids = jax.lax.dynamic_slice(order, (g * G,), (G,))
-            out, (n_c, n_s) = jax.lax.cond(
-                g < groups_needed,
-                lambda: group(g, blk_ids),
-                lambda: (jnp.zeros((G * 256, 3), dt),
-                         (jnp.int32(0), jnp.int32(0))))
-            c_blocks = c_blocks.at[blk_ids].set(out.reshape(G, 256, 3))
-            return (c_blocks, rays + (n_c + n_s).astype(jnp.float32)), None
+            # scatter ONLY inside the computed branch: when n_blocks % G != 0
+            # the dynamic_slice clamps the last group's start, so a skipped
+            # group re-slices block ids already computed by the previous
+            # group — an unconditional .at[blk_ids].set would overwrite
+            # their radiance with zeros (silent darkening)
+            def computed():
+                out, (n_c, n_s) = group(g, blk_ids)
+                return (c_blocks.at[blk_ids].set(out.reshape(G, 256, 3)),
+                        (n_c + n_s).astype(jnp.float32))
+
+            c_blocks, r_inc = jax.lax.cond(
+                g < groups_needed, computed,
+                lambda: (c_blocks, jnp.float32(0.0)))
+            return (c_blocks, rays + r_inc), None
 
         c0 = jnp.zeros((n_blocks, 256, 3), dt)
         (c_blocks, rays_inc), _ = jax.lax.scan(

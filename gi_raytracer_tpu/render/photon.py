@@ -77,7 +77,8 @@ class PhotonBatch(NamedTuple):
 
 def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
                    li: int, h_idx: jnp.ndarray, key,
-                   active=None, salt=0) -> PhotonBatch:
+                   active=None, salt=0, slot_ids=None,
+                   total_count=None) -> PhotonBatch:
     """Emission attempts for light ``li`` — one lane per slot.
 
     The reference's serial per-slot retry loop (raytracer.h:602) becomes
@@ -109,7 +110,11 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
     emit_dir = sphere_cap_cos(normalize(pos - lpos[None, :]), u[0], u[1],
                               2.0, langle)
 
-    col0 = (0.5 * langle / cfg.photons) * lcol
+    # emission weight = 1/count * 0.5 * angle * light color (raytracer.h:618)
+    # where count is the ACTUAL number of emission slots this pass, not the
+    # config default — sharded/truncated passes stay correctly normalized
+    n_emit = total_count if total_count is not None else cfg.photons
+    col0 = (0.5 * langle / n_emit) * lcol
     col = jnp.broadcast_to(col0, (R, 3)).astype(dt)
 
     # --- specular continuation chain ---------------------------------------
@@ -118,10 +123,13 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
              + jnp.asarray(salt).astype(jnp.uint32) * jnp.uint32(2654435761))
     if active is None:
         active = jnp.ones(R, bool)
+    # stochastic-alpha accept streams key on GLOBAL slot ids so sharding /
+    # chunk slicing reproduces identical photons (intersect.py contract)
+    rid = slot_ids if slot_ids is not None else jnp.arange(R, dtype=jnp.int32)
 
     hit = trace_closest(scene, ro, rd, salt=salt0, eps=cfg.epsilon,
                         active=active, compact=True,
-                        backend=cfg.intersect_backend)
+                        backend=cfg.intersect_backend, ray_id=rid)
     attrs = hit_attributes_uv(scene, ro, rd, hit.t, hit.prim, hit.u, hit.v)
     _, _, _, rough, _ = material_lookup(scene, attrs.mat_id, attrs.uv)
     # only specular-first paths matter
@@ -151,7 +159,7 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
         # always pays here
         hit = trace_closest(scene, s.ro, s.rd, salt=salt, eps=cfg.epsilon,
                             active=s.alive, backend=cfg.intersect_backend,
-                            compact=True)
+                            compact=True, ray_id=rid)
         attrs = hit_attributes_uv(scene, s.ro, s.rd, hit.t, hit.prim,
                                   hit.u, hit.v)
         color, _, alpha, rough, ior = material_lookup(scene, attrs.mat_id,
@@ -187,7 +195,7 @@ def _emit_attempts(scene: Scene, cfg: RenderConfig, sampler: HaltonSampler,
 
 
 def _emit_chunk(scene, key, start, li=0, n_slots=1, *, cfg, sampler,
-                differentiable=False):
+                differentiable=False, total_count=None):
     """First-success emission for slots [start, start+n_slots) of light li,
     retrying failed slots up to cfg.photon_retries ROUNDS (the reference's
     serial 500-retry loop, raytracer.h:602, as a while_loop that exits as
@@ -220,7 +228,9 @@ def _emit_chunk(scene, key, start, li=0, n_slots=1, *, cfg, sampler,
         h_idx = slot * jnp.uint32(retries) + st.rnd
         kr = jax.random.fold_in(key, st.rnd)
         wave = _emit_attempts(scene, cfg, sampler, li, h_idx, kr,
-                              active=~st.stored, salt=st.rnd)
+                              active=~st.stored, salt=st.rnd,
+                              slot_ids=slot.astype(jnp.int32),
+                              total_count=total_count)
         new = wave.stored & ~st.stored
         return Rt(st.rnd + 1,
                   jnp.where(new[:, None], wave.pos, st.pos),
@@ -264,7 +274,7 @@ def trace_photons(scene: Scene, cfg: RenderConfig,
 
     run_chunk = jax.jit(
         functools.partial(_emit_chunk, cfg=cfg, sampler=sampler,
-                          differentiable=differentiable),
+                          differentiable=differentiable, total_count=count),
         static_argnames=("li", "n_slots"))
 
     parts = []
@@ -496,6 +506,20 @@ def _sample_photons_block(pm: PhotonMap, point, direction, k):
                      jnp.zeros((R, 3), dt))
 
 
+def sample_photons_backend(pm: PhotonMap, point, direction, k,
+                           backend: str = "auto") -> jnp.ndarray:
+    """Backend-dispatched caustic estimate: the tiled Pallas gather
+    (photon_knn) on TPU, the per-point jnp path elsewhere/by request.
+    Both compute the same estimator; the tiled path carries a custom VJP
+    that replays this module's gather for gradients."""
+    if backend == "jnp":
+        return sample_photons(pm, point, direction, k)
+    if backend == "pallas" or jax.default_backend() == "tpu":
+        from .photon_knn import sample_photons_tiled
+        return sample_photons_tiled(pm, point, direction, k)
+    return sample_photons(pm, point, direction, k)
+
+
 def trace_photons_sharded(scene: Scene, cfg: RenderConfig, mesh,
                           sampler: HaltonSampler | None = None,
                           key=None, count: int | None = None) -> PhotonBatch:
@@ -535,12 +559,12 @@ def trace_photons_sharded(scene: Scene, cfg: RenderConfig, mesh,
             start = shard_i.astype(jnp.uint32) * jnp.uint32(per)
             kc = jax.random.fold_in(key, shard_i)
             return _emit_chunk(scene, kc, start, li, per,
-                               cfg=cfg, sampler=sampler)
+                               cfg=cfg, sampler=sampler, total_count=count)
 
         fn = shard_map(body_fn, mesh=mesh,
                        in_specs=(scene_specs, P()),
-                       out_specs=PhotonBatch(P("shard"), P("shard"),
-                                             P("shard"), P("shard")),
+                       out_specs=PhotonBatch(P(axis), P(axis),
+                                             P(axis), P(axis)),
                        check_vma=False)
         parts.append(jax.jit(fn)(scene, key))
     return PhotonBatch(

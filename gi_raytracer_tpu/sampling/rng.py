@@ -60,9 +60,14 @@ def _mix(h: jnp.ndarray) -> jnp.ndarray:
 
 
 def hash_u01(a: jnp.ndarray, b, c=0) -> jnp.ndarray:
-    """Uniform in [0,1) from integer coordinates (vectorized)."""
+    """Uniform in [0,1) from integer coordinates (vectorized).
+
+    Converts via the top 24 bits through int32 — the only uint->float path
+    Mosaic supports — so Pallas kernels can reproduce every stream
+    bit-exactly (the bounce megakernel replays these uniforms in-kernel)."""
     a = jnp.asarray(a, jnp.uint32)
     b = jnp.asarray(b, jnp.uint32)
     c = jnp.asarray(c, jnp.uint32)
     h = _mix(a * jnp.uint32(0x9E3779B9) ^ _mix(b + jnp.uint32(0x7F4A7C15) ^ _mix(c)))
-    return h.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    return ((h >> 8).astype(jnp.int32).astype(jnp.float32)
+            * jnp.float32(5.960464477539063e-08))

@@ -1,0 +1,162 @@
+"""Tiled Pallas kNN gather vs the per-point reference path.
+
+The tiled path (photon_knn.sample_photons_tiled) must reproduce the
+per-point gather's estimate (photon.sample_photons — itself validated
+against a float64 brute-force oracle in test_photon.py) on clustered,
+uniform and empty-window query mixes, and its custom VJP must equal the
+reference path's gradients.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gi_raytracer_tpu.render.photon import (PhotonBatch, build_photon_map,
+                                            sample_photons)
+from gi_raytracer_tpu.render.photon_knn import sample_photons_tiled
+
+
+def _make_map(rng, P=2000, spread=0.15, lo=-1.5, hi=1.5, **kw):
+    ppos = rng.normal(0, spread, (P, 3))
+    pdir = rng.normal(size=(P, 3))
+    pdir /= np.linalg.norm(pdir, axis=1, keepdims=True)
+    pcol = rng.uniform(0, 1, (P, 3))
+    batch = PhotonBatch(jnp.asarray(ppos, jnp.float32),
+                        jnp.asarray(pdir, jnp.float32),
+                        jnp.asarray(pcol, jnp.float32),
+                        jnp.ones(P, bool))
+    return build_photon_map(batch, (lo,) * 3, (hi,) * 3, **kw)
+
+
+def _queries(rng, R, spread=0.12):
+    q = rng.normal(0, spread, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(q), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("R", [64, 300, 1024])
+def test_tiled_matches_reference_clustered(R):
+    rng = np.random.default_rng(0)
+    pm = _make_map(rng)
+    q, d = _queries(rng, R)
+    want = np.asarray(sample_photons(pm, q, d, 32))
+    got = np.asarray(sample_photons_tiled(pm, q, d, 32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_tiled_matches_reference_mixed_occupancy():
+    """Half the queries sit far outside the photon cluster (empty windows,
+    exact zeros), half inside — exercises the sort + tile skip + fallback
+    machinery together.  window_cap=1024 (>= the densest cell) keeps the
+    per-point reference path truncation-free so the comparison is strict."""
+    rng = np.random.default_rng(1)
+    pm = _make_map(rng, P=3000, window_cap=1024)
+    q_in, d_in = _queries(rng, 500)
+    q_out = jnp.asarray(rng.uniform(1.0, 1.4, (500, 3)).astype(np.float32))
+    d_out = d_in
+    q = jnp.concatenate([q_in, q_out])
+    d = jnp.concatenate([d_in, d_out])
+    want = np.asarray(sample_photons(pm, q, d, 32))
+    got = np.asarray(sample_photons_tiled(pm, q, d, 32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+    # far queries must be exactly zero (empty window semantics)
+    assert np.all(got[500:] == 0.0) or np.allclose(got[500:], 0.0)
+
+
+def test_tiled_matches_reference_uniform_queries():
+    """Uniform queries over the whole volume (the bench workload)."""
+    rng = np.random.default_rng(2)
+    pm = _make_map(rng, P=5000, spread=0.6)
+    R = 2048
+    q = jnp.asarray(rng.uniform(-1.4, 1.4, (R, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    want = np.asarray(sample_photons(pm, q, d, 32))
+    got = np.asarray(sample_photons_tiled(pm, q, d, 32))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_tiled_dense_focal_cells_fall_back():
+    """A pathologically dense map (all photons in a few cells): queries
+    whose window exceeds the largest tier cap fall back to the per-point
+    reference path (bit-matching it, truncation and all); queries the
+    kernel handles compute the EXACT window — better than the reference
+    path's per-cell cap truncation — so those are checked against the
+    float64 brute-force oracle instead."""
+    from gi_raytracer_tpu.render.photon_knn import TIER_CAPS
+
+    def _oracle_estimate(ppos, pdir, pcol, qq, dd, kk):
+        d2 = ((ppos - qq) ** 2).sum(1)
+        sel = np.argsort(d2)[:kk]
+        res = (pcol[sel] * (pdir[sel] @ dd)[:, None]).sum(0)
+        return res / (np.pi * d2[sel[-1]])
+
+    rng = np.random.default_rng(3)
+    P = 4000
+    ppos = rng.normal(0, 0.01, (P, 3))
+    pdir = rng.normal(size=(P, 3))
+    pdir /= np.linalg.norm(pdir, axis=1, keepdims=True)
+    pcol = rng.uniform(0, 1, (P, 3))
+    batch = PhotonBatch(jnp.asarray(ppos, jnp.float32),
+                        jnp.asarray(pdir, jnp.float32),
+                        jnp.asarray(pcol, jnp.float32), jnp.ones(P, bool))
+    pm = build_photon_map(batch, (-1.5,) * 3, (1.5,) * 3)
+    q, d = _queries(rng, 256, spread=0.01)
+    want_ref = np.asarray(sample_photons(pm, q, d, 32))
+    got = np.asarray(sample_photons_tiled(pm, q, d, 32))
+
+    # per-query window population (the tier discriminator)
+    qn = np.asarray(q)
+    nx, ny, nz = pm.dims
+    gmin = np.asarray(pm.grid_min)
+    inv = np.asarray(pm.inv_cell)
+    cs = np.asarray(pm.cell_start)
+    cells = np.clip(((qn - gmin) * inv).astype(np.int32), 0,
+                    [nx - 1, ny - 1, nz - 1])
+    n_cand = np.zeros(len(qn), np.int64)
+    for i, (cx, cy, cz) in enumerate(cells):
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                if not (0 <= cx + ox < nx and 0 <= cy + oy < ny):
+                    continue
+                base = ((cx + ox) * ny + (cy + oy)) * nz
+                zlo, zhi = max(cz - 1, 0), min(cz + 1, nz - 1)
+                n_cand[i] += cs[base + zhi + 1] - cs[base + zlo]
+    fallback = n_cand > TIER_CAPS[-1]
+    assert fallback.any(), "test scene no longer exercises the fallback"
+    np.testing.assert_allclose(got[fallback], want_ref[fallback],
+                               rtol=2e-4, atol=1e-6)
+    dn = np.asarray(d)
+    ppos32 = np.asarray(pm.pos, np.float64)
+    pdir32 = np.asarray(pm.dir, np.float64)
+    pcol32 = np.asarray(pm.col, np.float64)
+    for i in np.nonzero(~fallback)[0][:32]:
+        want = _oracle_estimate(ppos32, pdir32, pcol32,
+                                qn[i].astype(np.float64),
+                                dn[i].astype(np.float64), 32)
+        np.testing.assert_allclose(got[i], want, rtol=5e-3, atol=1e-4,
+                                   err_msg=f"query {i}")
+
+
+def test_tiled_grad_matches_reference():
+    """custom VJP: gradients wrt photon colors and query points equal the
+    reference path's."""
+    rng = np.random.default_rng(4)
+    pm = _make_map(rng, P=800)
+    q, d = _queries(rng, 64)
+
+    def loss_ref(col, qq):
+        pm2 = pm.replace(col=col)
+        return jnp.sum(sample_photons(pm2, qq, d, 8) ** 2)
+
+    def loss_tiled(col, qq):
+        pm2 = pm.replace(col=col)
+        return jnp.sum(sample_photons_tiled(pm2, qq, d, 8) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(pm.col, q)
+    g_tl = jax.grad(loss_tiled, argnums=(0, 1))(pm.col, q)
+    for a, b in zip(g_ref, g_tl):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-3, atol=1e-5)
