@@ -65,6 +65,12 @@ class RenderConfig:
     knn_backend: str = "auto"        # photon kNN gather: "auto"|"pallas"|"jnp"
                                      # (auto = tiled Pallas kernel on TPU,
                                      # per-point jnp path elsewhere)
+    integrator: str = "auto"         # render wave engine: "auto"|"staged"|
+                                     # "mega" — auto runs the whole-bounce
+                                     # Pallas megakernel on TPU for eligible
+                                     # scenes (tri-only, no fog/image tex),
+                                     # staged everywhere else; gradients
+                                     # always use the staged path
     compact_wavefront: bool = False  # alive-first lane compaction before each
                                      # trace: wins on open scenes / photon
                                      # passes (many dead lanes), costs ~13%

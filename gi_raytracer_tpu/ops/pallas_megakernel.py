@@ -231,9 +231,13 @@ def _trace_tile(attr_ref, cbox_ref, act, rid_u32, salt_u32,
             win = jnp.min(jnp.where(tt <= colmin, sub, jnp.int32(_IMAX)),
                           axis=0, keepdims=True)      # (1, RT)
             onehot = ((sub == win) & improved).astype(jnp.float32)
+            # HIGHEST precision: the default TPU matmul truncates inputs to
+            # bf16, which corrupts the extracted geometry (~1e-2 on unit-
+            # scale vertices) and breaks the exact MT recompute downstream
             new_rows = jax.lax.dot_general(
                 a, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (64, RT)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (64, RT)
             rows = jnp.where(improved, new_rows, rows)
             pid = jnp.where(improved, c * jnp.int32(CK) + win, pid)
         else:

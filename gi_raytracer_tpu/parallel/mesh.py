@@ -149,7 +149,7 @@ def render_fused_sharded(renderer, mesh: Mesh, state=None):
     Returns the final accumulation state (sharded image leaves).
     """
     from jax import shard_map
-    from ..render.integrator import radiance_wave
+    from ..render.integrator import dispatch_wave
     from ..render.camera import primary_rays
     from ..sampling.rng import Purpose, stream
 
@@ -231,7 +231,7 @@ def render_fused_sharded(renderer, mesh: Mesh, state=None):
                                    s.astype(jnp.uint32))
             # global lane id of (wave s, shard, local lane) must equal the
             # single-device id s*N + global_lane — see Renderer._wave_radiance
-            out, (n_c, n_s) = radiance_wave(
+            out, (n_c, n_s) = dispatch_wave(
                 scene, cfg, ro, rd, sx_all, sy_all, k, 0, photon_map,
                 with_counts=True,
                 lane_base=s.astype(jnp.uint32) * jnp.uint32(N_total)

@@ -226,6 +226,33 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
     return state.radiance
 
 
+def dispatch_wave(scene, cfg, ro, rd, sx_all, sy_all, key, wave_salt=0,
+                  photon_map=None, with_counts=False, lane_base=0,
+                  lane_ids=None):
+    """Render-path wave dispatcher: the whole-bounce Pallas megakernel for
+    eligible scenes on TPU (or when forced via cfg.integrator="mega"),
+    the staged `radiance_wave` otherwise.  Gradient paths must call
+    `radiance_wave` directly — the megakernel is forward-only."""
+    use_mega = False
+    if cfg.integrator in ("auto", "mega"):
+        from ..ops.pallas_megakernel import mega_eligible
+        if mega_eligible(scene, cfg) and ro.shape[0] % 256 == 0:
+            use_mega = (cfg.integrator == "mega"
+                        or jax.default_backend() == "tpu")
+    if use_mega:
+        from ..ops.pallas_megakernel import radiance_wave_mega
+        R = ro.shape[0]
+        lane_u32 = (lane_ids.astype(jnp.uint32) if lane_ids is not None
+                    else jnp.asarray(lane_base).astype(jnp.uint32)
+                    + jnp.arange(R, dtype=jnp.uint32))
+        out, counts = radiance_wave_mega(scene, cfg, ro, rd, sx_all, sy_all,
+                                         lane_u32, wave_salt, photon_map)
+        return (out, counts) if with_counts else out
+    return radiance_wave(scene, cfg, ro, rd, sx_all, sy_all, key, wave_salt,
+                         photon_map, with_counts=with_counts,
+                         lane_base=lane_base, lane_ids=lane_ids)
+
+
 class Renderer:
     """Frame renderer: adaptive QMC waves over the whole image."""
 
@@ -306,7 +333,7 @@ class Renderer:
         # lane ids globally unique per (pixel, sample): wave w pixel p gets
         # id w*N + p — slicing, batching and sharding all reproduce the
         # exact same stochastic streams
-        out = radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
+        out = dispatch_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
                             key, 0, photon_map,
                             with_counts=with_counts,
                             lane_base=jnp.asarray(wave_i).astype(jnp.uint32)
@@ -385,7 +412,7 @@ class Renderer:
         sx_all, sy_all = self._bounce_samples(idx)
         key = jax.random.fold_in(self._key, jnp.asarray(first_wave))
         base = jnp.asarray(first_wave).astype(jnp.uint32) * jnp.uint32(N)
-        out, counts = radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
+        out, counts = dispatch_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
                                     key, 0, photon_map, with_counts=True,
                                     lane_base=base)
         inv = jnp.asarray(self._inv_perm)
@@ -436,7 +463,7 @@ class Renderer:
                                   xr * self.enum.scale_x,
                                   yr * self.enum.scale_y)
             sx_all, sy_all = self._bounce_samples(idx)
-            return radiance_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
+            return dispatch_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
                                  key, 0, photon_map, with_counts=True,
                                  lane_ids=lane_ids)
 

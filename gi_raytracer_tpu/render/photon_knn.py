@@ -49,9 +49,10 @@ TIER_CAPS = (128, 512, 2048)  # candidate caps (lane axis) per tier
 # queries per kernel block, per tier: 9 candidate planes of (TQS x cap)
 # f32 must fit VMEM with double buffering (~5 MB per buffer set)
 TIER_TQ = (256, 256, 64)
-# lanes per scan super-block, per tier: bounds peak gather memory to
-# ~40 MB while keeping the number of scan steps small
-TIER_BLOCK_LANES = (32768, 8192, 2048)
+# lanes per scan super-block, per tier: small blocks keep the (slow)
+# per-lane scalar gathers proportional to the residual actually processed
+# (this path only serves the few-percent tile-pass residual)
+TIER_BLOCK_LANES = (8192, 4096, 2048)
 
 _BIG = 3.0e38
 
@@ -184,7 +185,7 @@ def _make_tiled_fn(k: int, interpret: bool):
     return f
 
 
-def _fwd_impl(pm, point, direction, k, interpret):
+def _fwd_perpoint(pm, point, direction, k, interpret):
     R = point.shape[0]
     dt = point.dtype
     nx, ny, nz = pm.dims
@@ -329,4 +330,404 @@ def _fwd_impl(pm, point, direction, k, interpret):
     est_slow = jax.lax.cond(need_slow, slow_path,
                             lambda: jnp.zeros((R, 3), jnp.float32))
     out = jnp.where((lane_tier == n_tiers)[:, None], est_slow, est_r)
+    return out.astype(dt)
+
+
+# ---------------------------------------------------------------------------
+# tile-shared chunk-gather path (the production TPU pipeline)
+#
+# XLA's 1-D gather runs at ~0.16 GB/s on this platform (measured: 850 ms
+# per 262k x 128 plane), so ANY per-query candidate fetch is the wall.
+# This path amortizes the fetch across a tile of TQ_T cell-sorted queries:
+# the tile's window-cell union is a box whose (x, y) columns are contiguous
+# photon runs; runs are rounded to 32-photon chunks, merged (cummax chain,
+# which also guarantees chunk-disjointness = no double counting) and
+# fetched as WHOLE 2 KB rows of a (P/32, 512) chunk table — one gather
+# element per chunk instead of one per candidate.  Per-query exactness is
+# restored in-kernel by the 3x3x3 cell-membership mask (over-fetched
+# photons from gap cells always fail it — see the geometry argument in the
+# comments below).
+# ---------------------------------------------------------------------------
+
+TQ_T = 64        # queries per tile (pass 1)
+TQ_T2 = 16       # queries per tile (pass 2 re-tiling of pass-1 failures)
+XYB_T = 16       # max box columns per axis
+R_MAX = 64       # merged chunk-ranges per tile
+KCHUNK = 128     # 32-photon chunks per tile -> 4096 candidate slots
+TILE_SB = 512    # tiles per gather/kernel super-block
+RES_FRAC = 4     # pass-2 capacity = ceil(Rp / RES_FRAC) lanes
+
+
+def _morton3(x, y, z):
+    """Interleave the low 10 bits of three int32 coords (z-order key)."""
+    def spread(v):
+        v = v.astype(jnp.uint32) & jnp.uint32(0x3FF)
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+    return (spread(x) | (spread(y) << 1) | (spread(z) << 2)).astype(jnp.int32)
+
+
+def _tile_kernel(meta_ref, scal_ref, q_ref, cand_ref, out_ref, *,
+                 k: int, dims, tq: int):
+    """Grid: (n_tiles,).  Queries on LANES, candidates on SUBLANES.
+    meta_ref (8, 8) i32 SMEM row (tile%8): [flag]
+    scal_ref (1, 8) f32 SMEM: grid_min xyz, inv_cell xyz
+    q_ref    (8, TQ_T) f32 rows: qx qy qz qdx qdy qdz
+    cand_ref (KCHUNK*32, 16) f32 rows: px py pz dx dy dz cr cg cb
+             (NaN positions mark invalid/sentinel photons)
+    out_ref  (8, TQ_T) f32 rows: estimate rgb + pad (8-row block to
+             satisfy Mosaic's sublane divisibility)
+    """
+    row = pl.program_id(0) % 8
+    flag = meta_ref[row, 0]
+    TQ_T = tq
+
+    @pl.when(flag == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((8, TQ_T), jnp.float32)
+
+    @pl.when(flag > 0)
+    def _():
+        gx = scal_ref[0, 0]
+        gy = scal_ref[0, 1]
+        gz = scal_ref[0, 2]
+        ivx = scal_ref[0, 3]
+        ivy = scal_ref[0, 4]
+        ivz = scal_ref[0, 5]
+        nx, ny, nz = dims
+
+        qx = q_ref[0:1, :]
+        qy = q_ref[1:2, :]
+        qz = q_ref[2:3, :]
+        px = cand_ref[:, 0:1]
+        py = cand_ref[:, 1:2]
+        pz = cand_ref[:, 2:3]
+
+        def cell(p, g, iv, n):
+            # float cell coords (ints represented exactly; NaN propagates
+            # so sentinel photons fail every membership compare)
+            return jnp.clip(jnp.floor((p - g) * iv), 0.0, jnp.float32(n - 1))
+
+        qcx = cell(qx, gx, ivx, nx)
+        qcy = cell(qy, gy, ivy, ny)
+        qcz = cell(qz, gz, ivz, nz)
+        pcx = cell(px, gx, ivx, nx)
+        pcy = cell(py, gy, ivy, ny)
+        pcz = cell(pz, gz, ivz, nz)
+
+        ok = ((jnp.abs(pcx - qcx) <= 1.0) & (jnp.abs(pcy - qcy) <= 1.0)
+              & (jnp.abs(pcz - qcz) <= 1.0))            # (NC, TQ_T)
+        big = jnp.float32(_BIG)
+        d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
+        d2 = jnp.where(ok, d2, big)
+
+        okf = ok.astype(jnp.float32)
+        n_found = jnp.sum(okf, axis=0, keepdims=True)   # (1, TQ_T)
+        d2_max = jnp.max(jnp.where(ok, d2, -big), axis=0, keepdims=True)
+        kf = jnp.float32(k)
+        need = n_found > kf
+
+        # exact k-th squared distance: bisect the f32 bit pattern
+        def body(i, bounds):
+            lo, hi = bounds
+            mid = (lo + hi) >> 1
+            mid_f = jax.lax.bitcast_convert_type(mid, jnp.float32)
+            cnt = jnp.sum((d2 <= mid_f).astype(jnp.float32), axis=0,
+                          keepdims=True)
+            ge = cnt >= kf
+            return (jnp.where(ge, lo, mid), jnp.where(ge, mid, hi))
+
+        lo0 = jnp.full((1, TQ_T), -1, jnp.int32)
+        hi0 = jax.lax.bitcast_convert_type(jnp.maximum(d2_max, 0.0),
+                                           jnp.int32)
+        _, hi = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+        kth = jax.lax.bitcast_convert_type(hi, jnp.float32)
+        rk2 = jnp.where(need, kth, d2_max)
+        sel = ok & (d2 <= rk2)
+
+        w = (cand_ref[:, 3:4] * q_ref[3:4, :] + cand_ref[:, 4:5] * q_ref[4:5, :]
+             + cand_ref[:, 5:6] * q_ref[5:6, :])
+        w = jnp.where(sel, w, 0.0)
+        inv_pi_r2 = pl.reciprocal(
+            jnp.float32(np.pi) * jnp.maximum(rk2, 1e-20), approx=False)
+        scale = jnp.where(n_found > 0, inv_pi_r2, 0.0)
+        out_ref[0:1, :] = jnp.sum(cand_ref[:, 6:7] * w, axis=0,
+                                  keepdims=True) * scale
+        out_ref[1:2, :] = jnp.sum(cand_ref[:, 7:8] * w, axis=0,
+                                  keepdims=True) * scale
+        out_ref[2:3, :] = jnp.sum(cand_ref[:, 8:9] * w, axis=0,
+                                  keepdims=True) * scale
+        out_ref[3:8, :] = jnp.zeros((5, TQ_T), jnp.float32)
+
+
+def _tile_blocks(meta, scal, q, cand, k, dims, tq, interpret):
+    """meta (T_pad8, 8) i32; q (T*8, tq); cand (T*KCHUNK*32, 16)."""
+    n_tiles = q.shape[0] // 8
+    NC = KCHUNK * 32
+    kernel = functools.partial(_tile_kernel, k=k, dims=dims, tq=tq)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((8, 8), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, tq), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NC, 16), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, tq), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tq), jnp.float32),
+        interpret=interpret,
+    )(meta, scal, q, cand)
+
+
+def _pack_chunk_table(pm):
+    """(P32 + 1, 512) f32: photon rows [pos, dir, col, pad] grouped 32 to a
+    chunk row; invalid photons and padding carry NaN positions (they then
+    fail every cell-membership compare in-kernel).  The final row is the
+    all-NaN sentinel chunk that padded chunk ids point at."""
+    P = pm.pos.shape[0]
+    nan = jnp.float32(jnp.nan)
+    pos = jnp.where(pm.valid[:, None], pm.pos.astype(jnp.float32), nan)
+    rows = jnp.concatenate([
+        pos, pm.dir.astype(jnp.float32), pm.col.astype(jnp.float32),
+        jnp.zeros((P, 7), jnp.float32)], axis=1)          # (P, 16)
+    pad = (-P) % 32
+    rows = jnp.pad(rows, ((0, pad + 32), (0, 0)))
+    rows = rows.at[P:, 0:3].set(nan)
+    return rows.reshape(-1, 512)                           # (P32 + 1, 512)
+
+
+def _tile_pass(pm, tbl, scal, q_s, cells_s, k, interpret, tq, n_live=None):
+    """One tile pass over SORTED, tq-padded query arrays.
+
+    q_s (Rp, 8): pos, dir, pad; cells_s (Rp, 3).  ``n_live``: only the
+    first n_live lanes matter — super-blocks wholly past them are skipped.
+    Returns (est (Rp, 3) f32, fast (Rp,) bool) — est valid on fast lanes.
+    """
+    nx, ny, nz = pm.dims
+    C_cells = nx * ny * nz
+    dims_i = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
+    Rp = q_s.shape[0]
+    nT = Rp // tq
+    ct = cells_s.reshape(nT, tq, 3)
+
+    lo = jnp.clip(jnp.min(ct, axis=1) - 1, 0, dims_i[None, :])  # (nT, 3)
+    hi = jnp.clip(jnp.max(ct, axis=1) + 1, 0, dims_i[None, :])
+    bx = hi[:, 0] - lo[:, 0] + 1
+    by = hi[:, 1] - lo[:, 1] + 1
+    box_ok = (bx <= XYB_T) & (by <= XYB_T)
+
+    # (x, y) column runs of the box, in cell-id (= photon) order
+    ox = jnp.arange(XYB_T, dtype=jnp.int32)
+    colx = jnp.clip(lo[:, 0:1] + ox[None, :], 0, nx - 1)    # (nT, XYB)
+    coly = jnp.clip(lo[:, 1:2] + ox[None, :], 0, ny - 1)
+    vx = ox[None, :] < bx[:, None]
+    vy = ox[None, :] < by[:, None]
+    base = (colx[:, :, None] * ny + coly[:, None, :]) * nz  # (nT, XYB, XYB)
+    id_lo = base + lo[:, 2, None, None]
+    id_hi = base + hi[:, 2, None, None]
+    NRUN = XYB_T * XYB_T
+    id_lo = id_lo.reshape(nT, NRUN)
+    id_hi = jnp.clip(id_hi.reshape(nT, NRUN) + 1, 0, C_cells)
+    r_s = pm.cell_start[id_lo]
+    r_e = pm.cell_start[id_hi]
+    run_ok = (vx[:, :, None] & vy[:, None, :]).reshape(nT, NRUN)
+    run_ok &= r_e > r_s
+
+    # 32-aligned chunk ranges, merged so aligned ranges stay disjoint
+    as_ = r_s // 32
+    ae_ = jnp.where(run_ok, -(-r_e // 32), 0)
+    cmax_inc = jax.lax.associative_scan(jnp.maximum, ae_, axis=1)
+    cmax_exc = jnp.concatenate(
+        [jnp.zeros((nT, 1), ae_.dtype), cmax_inc[:, :-1]], axis=1)
+    bnd = run_ok & (as_ >= cmax_exc)
+    range_id = jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1
+    n_ranges = jnp.maximum(range_id[:, -1] + 1, 0)
+    range_of_run = jnp.clip(range_id, 0, R_MAX - 1)
+
+    big_i = jnp.int32(1 << 30)
+    rs = jnp.full((nT, R_MAX), big_i, jnp.int32)
+    re = jnp.zeros((nT, R_MAX), jnp.int32)
+    for r in range(R_MAX):
+        m = run_ok & (range_of_run == r)
+        rs = rs.at[:, r].set(jnp.min(jnp.where(m, as_, big_i), axis=1))
+        re = re.at[:, r].set(jnp.max(jnp.where(m, ae_, 0), axis=1))
+    # no per-range clipping: an oversized range must inflate n_chunks so
+    # the tile fails `fast` and falls back (a clip would silently truncate)
+    rlen = jnp.maximum(re - rs, 0)
+    rlen = jnp.where(jnp.arange(R_MAX)[None, :] < n_ranges[:, None],
+                     rlen, 0)
+    prefix = jnp.cumsum(rlen, axis=1)
+    n_chunks = prefix[:, -1]
+    fast = box_ok & (n_ranges <= R_MAX) & (n_chunks <= KCHUNK)
+
+    # expand ranges into the (nT, KCHUNK) chunk-id list
+    j = jnp.arange(KCHUNK, dtype=jnp.int32)[None, :]
+    run_of = jnp.zeros((nT, KCHUNK), jnp.int32)
+    for r in range(R_MAX):
+        run_of = run_of + (j >= prefix[:, r:r + 1]).astype(jnp.int32)
+    run_of = jnp.minimum(run_of, R_MAX - 1)
+    before = jnp.zeros((nT, KCHUNK), jnp.int32)
+    startc = jnp.zeros((nT, KCHUNK), jnp.int32)
+    for r in range(R_MAX):
+        is_r = run_of == r
+        if r > 0:
+            before = jnp.where(is_r, prefix[:, r - 1:r], before)
+        startc = jnp.where(is_r, rs[:, r:r + 1], startc)
+    sentinel = tbl.shape[0] - 1
+    cid = jnp.where((j < n_chunks[:, None]) & fast[:, None],
+                    jnp.clip(startc + (j - before), 0, sentinel - 1),
+                    sentinel)
+
+    # super-blocked gather + kernel (bounds the materialized chunk rows)
+    sb = min(TILE_SB, nT)
+    n_sb = -(-nT // sb)
+    q_t = q_s.reshape(nT, tq, 8).transpose(0, 2, 1)         # (nT, 8, tq)
+    est_rows = jnp.zeros((nT, 8, tq), jnp.float32)
+
+    def run_block(t0):
+        cid_b = jax.lax.dynamic_slice(cid, (t0, 0), (sb, KCHUNK))
+        cand = tbl[cid_b]                                   # (sb, KCHUNK, 512)
+        cand = cand.reshape(sb * KCHUNK * 32, 16)
+        qb = jax.lax.dynamic_slice(q_t, (t0, 0, 0), (sb, 8, tq))
+        fl = jax.lax.dynamic_slice(fast.astype(jnp.int32), (t0,), (sb,))
+        mpad = (-sb) % 8
+        meta = jnp.pad(fl[:, None], ((0, mpad), (0, 7)))
+        out = _tile_blocks(meta, scal, qb.reshape(sb * 8, tq), cand,
+                           k, (nx, ny, nz), tq, interpret)
+        return out.reshape(sb, 8, tq)
+
+    def step(carry, i):
+        est_rows = carry
+        t0 = jnp.minimum(i * sb, nT - sb)
+        if n_live is None:
+            out = run_block(t0)
+        else:
+            out = jax.lax.cond(
+                t0 * tq < n_live, lambda: run_block(t0),
+                lambda: jnp.zeros((sb, 8, tq), jnp.float32))
+        return jax.lax.dynamic_update_slice(est_rows, out, (t0, 0, 0)), None
+
+    est_rows, _ = jax.lax.scan(step, est_rows, jnp.arange(n_sb))
+    est = est_rows.transpose(0, 2, 1).reshape(Rp, 8)[:, :3]
+    return est, jnp.repeat(fast, tq)
+
+
+def _fwd_impl(pm, point, direction, k, interpret):
+    """Tile-shared chunk-gather forward pass.
+
+    Pass 1 tiles the cell-sorted queries at TQ_T; tiles whose window box or
+    chunk budget exceeds the caps (typically tiles straddling a z-order
+    discontinuity) are re-tiled at TQ_T2 in pass 2; the residual goes to
+    the per-point tiered path.
+    """
+    R = point.shape[0]
+    dt = point.dtype
+    nx, ny, nz = pm.dims
+    dims_i = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
+
+    p32 = point.astype(jnp.float32)
+    d32 = direction.astype(jnp.float32)
+    g = (p32 - pm.grid_min[None, :].astype(jnp.float32)) \
+        * pm.inv_cell[None, :].astype(jnp.float32)
+    cells = jnp.clip(g.astype(jnp.int32), 0, dims_i)        # (R, 3)
+
+    order = jnp.argsort(_morton3(cells[:, 0], cells[:, 1], cells[:, 2]),
+                        stable=True).astype(jnp.int32)
+    pos_of = jnp.argsort(order).astype(jnp.int32)
+
+    pad = (-R) % TQ_T
+    Rp = R + pad
+
+    def srt(x):
+        y = x[order]
+        widths = ((0, pad),) + ((0, 0),) * (y.ndim - 1)
+        return jnp.pad(y, widths, mode="edge")
+
+    q_s = jnp.concatenate([srt(p32), srt(d32),
+                           jnp.zeros((Rp, 2), jnp.float32)], axis=1)
+    cells_s = srt(cells)
+    tbl = _pack_chunk_table(pm)
+    scal = jnp.concatenate([pm.grid_min.astype(jnp.float32),
+                            pm.inv_cell.astype(jnp.float32),
+                            jnp.zeros(2, jnp.float32)]).reshape(1, 8)
+
+    est1, fast1 = _tile_pass(pm, tbl, scal, q_s, cells_s, k, interpret, TQ_T)
+
+    # ---- pass 2: re-tile pass-1 failures at TQ_T2 ----
+    # stable-compact residual lanes to the front (keeps z-order), process
+    # the first RES_CAP of them, everything beyond goes to the slow path
+    res = ~fast1
+    a = res.astype(jnp.int32)
+    n_res = jnp.sum(a)
+    c_t = jnp.cumsum(a) - a
+    c_f = jnp.cumsum(1 - a) - (1 - a)
+    dest = jnp.where(res, c_t, n_res + c_f)
+    inv_dest = jnp.argsort(dest).astype(jnp.int32)          # dest -> lane
+
+    RES_CAP = max((-(-Rp // RES_FRAC) + TQ_T2 - 1) // TQ_T2 * TQ_T2, TQ_T2)
+    lane2 = inv_dest[:RES_CAP]
+    live2 = jnp.arange(RES_CAP) < jnp.minimum(n_res, RES_CAP)
+    # dead pass-2 lanes replicate lane 0 in the COMPUTE (harmless) but
+    # scatter to a dummy slot so they can't clobber a live lane's result
+    lane2 = jnp.where(live2, lane2, lane2[0])
+    q2 = q_s[lane2]
+    cells2 = cells_s[lane2]
+    est2_c, fast2_c = _tile_pass(pm, tbl, scal, q2, cells2, k, interpret,
+                                 TQ_T2, n_live=n_res)
+    fast2_c &= live2
+    lane2_sc = jnp.where(live2, lane2, jnp.int32(Rp))
+    est2 = jnp.zeros((Rp + 1, 3), jnp.float32).at[lane2_sc].set(
+        jnp.where(fast2_c[:, None], est2_c, 0.0))[:Rp]
+    fast2 = jnp.zeros((Rp + 1,), bool).at[lane2_sc].max(fast2_c)[:Rp]
+
+    est_s = jnp.where(fast1[:, None], est1, est2)
+    covered_s = fast1 | fast2
+
+    # un-sort; uncovered lanes take the per-point tiered path
+    est = est_s[pos_of]
+    lane_ok = covered_s[pos_of]
+
+    res2 = ~lane_ok
+    n_r2 = jnp.sum(res2.astype(jnp.int32))
+    far = (pm.grid_min - 1e6 * jnp.maximum(
+        1.0 / jnp.maximum(pm.inv_cell, 1e-20), 1.0)).astype(dt)
+
+    # the per-point path's scalar gathers cost ~1 s per 32k-lane block, so
+    # the common tiny residual (a few hundred lanes at tiles straddling
+    # z-order jumps) runs on a compacted SLOW_CAP-lane array; the full-R
+    # call survives only for pathological residuals
+    SLOW_CAP = min(8192, R)
+    a2 = res2.astype(jnp.int32)
+    c2 = jnp.cumsum(a2) - a2
+    slot = jnp.where(res2, jnp.minimum(c2, SLOW_CAP - 1), SLOW_CAP)
+    lane_r = jnp.full((SLOW_CAP + 1,), -1, jnp.int32).at[slot].set(
+        jnp.arange(R, dtype=jnp.int32))[:SLOW_CAP]
+    live_r = lane_r >= 0
+    lane_r = jnp.maximum(lane_r, 0)
+
+    def slow_small():
+        p_r = jnp.where(live_r[:, None], point[lane_r], far[None, :])
+        d_r = direction[lane_r]
+        e_r = _fwd_perpoint(pm, p_r, d_r, k, interpret).astype(jnp.float32)
+        out = jnp.zeros((R + 1, 3), jnp.float32).at[
+            jnp.where(live_r, lane_r, R)].set(e_r)
+        return out[:R]
+
+    def slow_full():
+        p_slow = jnp.where(res2[:, None], point, far[None, :])
+        return _fwd_perpoint(pm, p_slow, direction, k,
+                             interpret).astype(jnp.float32)
+
+    est_slow = jax.lax.cond(
+        n_r2 == 0, lambda: jnp.zeros((R, 3), jnp.float32),
+        lambda: jax.lax.cond(n_r2 <= SLOW_CAP, slow_small, slow_full))
+    out = jnp.where(lane_ok[:, None], est, est_slow)
     return out.astype(dt)

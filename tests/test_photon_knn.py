@@ -94,8 +94,8 @@ def test_tiled_dense_focal_cells_fall_back():
         return res / (np.pi * d2[sel[-1]])
 
     rng = np.random.default_rng(3)
-    P = 4000
-    ppos = rng.normal(0, 0.01, (P, 3))
+    P = 8000
+    ppos = rng.normal(0, 0.004, (P, 3))
     pdir = rng.normal(size=(P, 3))
     pdir /= np.linalg.norm(pdir, axis=1, keepdims=True)
     pcol = rng.uniform(0, 1, (P, 3))
@@ -124,7 +124,12 @@ def test_tiled_dense_focal_cells_fall_back():
                 base = ((cx + ox) * ny + (cy + oy)) * nz
                 zlo, zhi = max(cz - 1, 0), min(cz + 1, nz - 1)
                 n_cand[i] += cs[base + zhi + 1] - cs[base + zlo]
-    fallback = n_cand > TIER_CAPS[-1]
+    # the tile passes handle up to KCHUNK*32 candidates exactly; beyond
+    # that the query reaches the per-point path whose own cap is
+    # TIER_CAPS[-1] — those lanes must bit-match the reference gather
+    # (truncation included)
+    from gi_raytracer_tpu.render.photon_knn import KCHUNK
+    fallback = n_cand > max(KCHUNK * 32, TIER_CAPS[-1])
     assert fallback.any(), "test scene no longer exercises the fallback"
     np.testing.assert_allclose(got[fallback], want_ref[fallback],
                                rtol=2e-4, atol=1e-6)
@@ -132,8 +137,22 @@ def test_tiled_dense_focal_cells_fall_back():
     ppos32 = np.asarray(pm.pos, np.float64)
     pdir32 = np.asarray(pm.dir, np.float64)
     pcol32 = np.asarray(pm.col, np.float64)
-    for i in np.nonzero(~fallback)[0][:32]:
-        want = _oracle_estimate(ppos32, pdir32, pcol32,
+    # n_cand <= 2048 lanes are computed exactly by every path (tile kernel
+    # or per-point tier); compare those against the WINDOW-RESTRICTED
+    # oracle (the k nearest of the query's own clamped 3x3x3 cell window —
+    # on a blob-periphery query the unrestricted k-nearest set can extend
+    # beyond the window, which is outside the estimator's semantics)
+    exact = n_cand <= TIER_CAPS[-1]
+    pcell = np.clip(np.floor(
+        (np.asarray(pm.pos, np.float32) - gmin.astype(np.float32))
+        * inv.astype(np.float32)).astype(np.int32), 0,
+        [nx - 1, ny - 1, nz - 1])
+    for i in np.nonzero(exact)[0][:32]:
+        inw = (np.abs(pcell - cells[i]) <= 1).all(1)
+        if not inw.any():
+            assert np.allclose(got[i], 0.0)
+            continue
+        want = _oracle_estimate(ppos32[inw], pdir32[inw], pcol32[inw],
                                 qn[i].astype(np.float64),
                                 dn[i].astype(np.float64), 32)
         np.testing.assert_allclose(got[i], want, rtol=5e-3, atol=1e-4,
