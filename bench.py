@@ -7,18 +7,25 @@ Prints one JSON line per metric; the LAST line is the headline metric:
 Protocol (BASELINE.md): cornell at 512x512, fixed 8 spp, depth 8, WITH the
 scene's 750k-photon caustic map (scenes/cornell/test.scn:3) — the same
 work the reference's trace()/visible()/samplePhotons() do per frame.
+r4 note: this runs end-to-end on-device for the first time (r3's photon
+renders crashed the TPU worker); the bounce megakernel + tiled kNN gather
+make the headline a measured number, not a fallback.
 
 "Rays" counts every traversal query actually issued for an ALIVE lane —
 primary + bounce extensions + shadow rays, from the integrator's own
-per-bounce counters (integrator.py PathState.n_closest/n_shadow) — NOT a
+per-bounce counters (megakernel / PathState) — NOT a
 W*H*SPP*DEPTH*(1+L) formula: paths killed by Russian roulette stop
 counting, exactly as the reference's recursion stops issuing queries.
 
 Also reported:
+  rays_per_s_cornell_512_8spp_nophotons — the trace+shade-only number
+    (comparable to r2/r3 lines)
   photons_emitted_per_s  — wavefront emission pass throughput (750k slots)
   knn_gather_mphotons_per_s — photons returned by the kNN caustic estimate
-    per second at 262k shading points (k=32), the metric BASELINE.md:31
-    names.
+    per second at 262k PRIMARY-HIT shading points (k=32).  r4 protocol
+    change: queries are the actual first-bounce surface points (87%
+    occupied windows) instead of uniform random volume points (mostly
+    empty windows) — the old protocol flattered the gather by ~8x.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); the north
 star is >=50x a 32-core CPU running the reference.  We report against a
@@ -55,10 +62,12 @@ def main():
     sys.path.insert(0, "/root/repo")
     from gi_raytracer_tpu.scene import load_scene
     from gi_raytracer_tpu.render import Camera
+    from gi_raytracer_tpu.render.camera import primary_rays
     from gi_raytracer_tpu.render.integrator import Renderer
     from gi_raytracer_tpu.render.photon import (trace_photons,
                                                 build_photon_map,
-                                                sample_photons)
+                                                sample_photons_backend)
+    from gi_raytracer_tpu.ops.intersect import trace_closest
 
     ls = load_scene(SCENE)
     cfg = ls.config.replace(min_samples=SPP, max_samples=SPP,
@@ -80,15 +89,20 @@ def main():
     pm = build_photon_map(batch, np.asarray(ls.scene.world_min),
                           np.asarray(ls.scene.world_max))
 
-    # --- kNN gather throughput (BASELINE.md:31) ---------------------------
+    # --- kNN gather throughput on REAL shading points ---------------------
     R = WIDTH * HEIGHT
-    rng = np.random.default_rng(0)
-    pts = jnp.asarray(rng.uniform(np.asarray(ls.scene.world_min),
-                                  np.asarray(ls.scene.world_max),
-                                  (R, 3)).astype(np.float32))
-    dirs = jnp.asarray(rng.normal(size=(R, 3)).astype(np.float32))
-    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
-    gather = jax.jit(lambda p, d: sample_photons(pm, p, d, cfg.knn_k))
+    r_probe = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT)
+    idx = jnp.asarray(r_probe.enum.index_image(0).ravel()[
+        np.asarray(r_probe._perm)])
+    xr = r_probe.sampler.sample(0, idx, r_probe._index_bits).astype(jnp.float32)
+    yr = r_probe.sampler.sample(1, idx, r_probe._index_bits).astype(jnp.float32)
+    ro, rd = primary_rays(cam, WIDTH, HEIGHT, xr * r_probe.enum.scale_x,
+                          yr * r_probe.enum.scale_y)
+    hit = jax.jit(lambda a, b: trace_closest(ls.scene, a, b))(ro, rd)
+    pts = ro + jnp.where(hit.prim >= 0, hit.t, 0.0)[:, None] * rd
+    dirs = -rd
+    gather = jax.jit(lambda p, d: sample_photons_backend(
+        pm, p, d, cfg.knn_k, cfg.knn_backend))
     jax.block_until_ready(gather(pts, dirs))  # warmup
     t0 = time.time()
     jax.block_until_ready(gather(pts, dirs))
@@ -96,9 +110,9 @@ def main():
     print(json.dumps({"metric": "knn_gather_mphotons_per_s",
                       "value": R * cfg.knn_k / dt_g / 1e6,
                       "unit": "Mphotons/s", "points": R, "k": cfg.knn_k,
-                      "seconds": dt_g}))
+                      "seconds": dt_g, "query_protocol": "primary-hit"}))
 
-    # --- render WITHOUT the map (r2-comparable trace+shade number) --------
+    # --- render WITHOUT the map (r2/r3-comparable trace+shade number) -----
     r0 = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT)
     img, st = r0.render(return_state=True)
     np.asarray(img)
@@ -114,16 +128,13 @@ def main():
     }))
 
     # --- full render WITH the 750k photon map (the reference's workload) --
-    # host-stepped waves: one XLA program per wave keeps each device
-    # dispatch short (the tunneled TPU kills very long programs)
     try:
         r = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT, photon_map=pm)
-        hook = lambda st_, s_: None
-        img, st = r.render(return_state=True, on_wave=hook)   # warmup
+        img, st = r.render(return_state=True)   # warmup
         np.asarray(img)
 
         t0 = time.time()
-        img, st = r.render(return_state=True, on_wave=hook)
+        img, st = r.render(return_state=True)
         np.asarray(img)
         dt = time.time() - t0
 
@@ -139,12 +150,10 @@ def main():
             "with_photon_map": True,
         }))
     except Exception as e:
-        # the tunneled dev TPU sometimes kills long photon-gather programs;
-        # report the trace+shade number honestly labeled rather than dying
-        # with no headline at all.  The fallback uses a DISTINCT metric name
-        # (the documented protocol for the headline name is WITH the map)
-        # and a null vs_baseline so consumers keying on the headline name
-        # never compare incommensurable numbers.
+        # report the trace+shade number under a DISTINCT metric name (the
+        # documented protocol for the headline name is WITH the map) and a
+        # null vs_baseline so consumers keying on the headline name never
+        # compare incommensurable numbers
         print(json.dumps({
             "metric": "rays_per_s_cornell_512_8spp_nophotons_fallback",
             "value": rays0 / dt0,

@@ -44,7 +44,7 @@ RT = 256          # rays per tile (lane axis; two 128-lane groups)
 CK = 128          # triangles per chunk (sublane axis)
 MEGA_TRI_CAP = 24_000   # (T, 64) f32 attr table must fit VMEM
 ATTR_W = 64       # packed shade-row width (shading.PR_W)
-SHRINK_EVERY = 2
+SHRINK_EVERY = 4
 
 _BIG = 3.0e38
 _IMAX = 2147483647
@@ -176,7 +176,11 @@ def _trace_tile(attr_ref, cbox_ref, act, rid_u32, salt_u32,
     sub = jax.lax.broadcasted_iota(jnp.int32, (CK, RT), 0)
     eps_h = jnp.float32(eps)
 
-    def test_chunk(c, best_t, pid, rows):
+    def test_chunk(c, best_t, pid):
+        """Slot-wise update: best_t/pid are (CK, RT) — slot s tracks the
+        best among tris {c*CK+s : c visited}.  No cross-sublane reductions
+        in the hot loop (the staged kernel's trick); the per-ray winner is
+        reduced once at the end and at t-cap shrinks."""
         a = attr_ref[pl.ds(c * CK, CK), :]            # (CK, 64)
         v0x = a[:, 0:1]
         v0y = a[:, 1:2]
@@ -224,59 +228,75 @@ def _trace_tile(attr_ref, cbox_ref, act, rid_u32, salt_u32,
             ok &= (uni < accept) | (accept >= 1.0)
 
         tt = jnp.where(ok, tc, big)
-        colmin = jnp.min(tt, axis=0, keepdims=True)   # (1, RT)
-        improved = colmin < best_t
+        better = tt < best_t
+        best_t = jnp.where(better, tt, best_t)
+        pid = jnp.where(better, c * jnp.int32(CK) + sub, pid)
+        return best_t, pid
 
-        if want_attrs:
-            win = jnp.min(jnp.where(tt <= colmin, sub, jnp.int32(_IMAX)),
-                          axis=0, keepdims=True)      # (1, RT)
-            onehot = ((sub == win) & improved).astype(jnp.float32)
-            # HIGHEST precision: the default TPU matmul truncates inputs to
-            # bf16, which corrupts the extracted geometry (~1e-2 on unit-
-            # scale vertices) and breaks the exact MT recompute downstream
-            new_rows = jax.lax.dot_general(
-                a, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)  # (64, RT)
-            rows = jnp.where(improved, new_rows, rows)
-            pid = jnp.where(improved, c * jnp.int32(CK) + win, pid)
-        else:
-            win = jnp.min(jnp.where(tt <= colmin, sub, jnp.int32(_IMAX)),
-                          axis=0, keepdims=True)
-            pid = jnp.where(improved, c * jnp.int32(CK) + win, pid)
-        best_t = jnp.minimum(best_t, colmin)
-        return best_t, pid, rows
-
-    def shrink(best_t, t_cap):
+    def shrink(best_t_slots, t_cap):
+        per_ray = jnp.min(best_t_slots, axis=0, keepdims=True)
         if any_hit:
-            need = act & (best_t >= big)
+            need = act & (per_ray >= big)
             return jnp.max(jnp.where(need, t_eff, -big))
-        return jnp.max(jnp.where(act, jnp.minimum(best_t, t_eff), -big))
+        return jnp.max(jnp.where(act, jnp.minimum(per_ray, t_eff), -big))
 
-    rows0 = jnp.zeros((ATTR_W, RT), jnp.float32)
     init = (jnp.int32(0), entry, cap0,
-            jnp.full((1, RT), big, jnp.float32),
-            jnp.full((1, RT), -1, jnp.int32),
-            rows0)
+            jnp.full((CK, RT), big, jnp.float32),
+            jnp.full((CK, RT), -1, jnp.int32))
 
     def cond(carry):
         _, entry, t_cap, *_ = carry
         return jnp.min(entry) <= t_cap
 
     def body(carry):
-        i, entry, t_cap, best_t, pid, rows = carry
+        i, entry, t_cap, best_t, pid = carry
         me = jnp.min(entry)
         c = jnp.min(jnp.where(entry <= me, lane_c, jnp.int32(_IMAX)))
-        best_t, pid, rows = test_chunk(c, best_t, pid, rows)
+        best_t, pid = test_chunk(c, best_t, pid)
         entry = jnp.where(lane_c == c, big, entry)
         new_cap = jax.lax.cond(
             (i % SHRINK_EVERY) == (SHRINK_EVERY - 1),
             lambda: jnp.minimum(t_cap, shrink(best_t, t_cap)),
             lambda: t_cap)
-        return i + 1, entry, new_cap, best_t, pid, rows
+        return i + 1, entry, new_cap, best_t, pid
 
-    _, _, _, best_t, pid, rows = jax.lax.while_loop(cond, body, init)
-    return best_t, pid, (rows if want_attrs else None)
+    _, _, _, best_ts, pids = jax.lax.while_loop(cond, body, init)
+
+    # per-ray winner: smallest t, ties broken by smallest global pid
+    # (identical to the staged kernel's final reduction)
+    tmin = jnp.min(best_ts, axis=0, keepdims=True)            # (1, RT)
+    pid_c = jnp.where((best_ts <= tmin) & (pids >= 0), pids,
+                      jnp.int32(_IMAX))
+    pmin = jnp.min(pid_c, axis=0, keepdims=True)
+    pid = jnp.where(pmin == jnp.int32(_IMAX), jnp.int32(-1), pmin)
+
+    rows = None
+    if want_attrs:
+        # extraction re-walk: one one-hot MXU contraction per DISTINCT
+        # winner chunk (a handful per tile) instead of per visited chunk
+        win_chunk = jnp.where(pid >= 0, pid // jnp.int32(CK), -1)  # (1, RT)
+        last = jnp.max(win_chunk)
+
+        def ex_body(c, rows):
+            def hit():
+                a = attr_ref[pl.ds(c * CK, CK), :]
+                onehot = ((sub == (pid - c * jnp.int32(CK)))
+                          & (win_chunk == c)).astype(jnp.float32)
+                # HIGHEST precision: the default TPU matmul truncates
+                # inputs to bf16, corrupting extracted geometry (~1e-2 on
+                # unit-scale vertices) and breaking the exact MT recompute
+                new_rows = jax.lax.dot_general(
+                    a, onehot, dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)      # (64, RT)
+                return jnp.where(win_chunk == c, new_rows, rows)
+
+            return jax.lax.cond(jnp.any(win_chunk == c), hit, lambda: rows)
+
+        rows = jax.lax.fori_loop(
+            0, last + 1, ex_body, jnp.zeros((ATTR_W, RT), jnp.float32))
+
+    return tmin, pid, rows
 
 
 # ---------------------------------------------------------------------------

@@ -460,6 +460,8 @@ def _sample_photons_block(pm: PhotonMap, point, direction, k):
 
     cand_idx = []
     cand_ok = []
+    n_true = jnp.zeros(R, jnp.int32)
+    n_got = jnp.zeros(R, jnp.int32)
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
             for oz in (-1, 0, 1):
@@ -472,6 +474,9 @@ def _sample_photons_block(pm: PhotonMap, point, direction, k):
                 cid = (cx * ny + cy) * nz + cz
                 start = pm.cell_start[cid]
                 end = pm.cell_start[cid + 1]
+                cnt = jnp.where(dup, 0, end - start)
+                n_true = n_true + cnt
+                n_got = n_got + jnp.minimum(cnt, cap)
                 sl = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
                 ok = (sl < end[:, None]) & ~dup[:, None]
                 cand_idx.append(jnp.clip(sl, 0, pm.capacity - 1))
@@ -502,8 +507,21 @@ def _sample_photons_block(pm: PhotonMap, point, direction, k):
     max_d2 = top_d2[jnp.arange(R), kth]
     has = n_found > 0
     denom = jnp.where(has, PI * jnp.maximum(max_d2, 1e-20), 1.0)
-    return jnp.where(has[:, None], total / denom[:, None],
-                     jnp.zeros((R, 3), dt))
+    est = jnp.where(has[:, None], total / denom[:, None],
+                    jnp.zeros((R, 3), dt))
+    # subsample correction: when the per-cell gather cap truncated the
+    # window (dense maps past the grid's max_dim resolution — e.g. 7.5M
+    # planar photons leave ~1e5/cell at 192^3), the candidates are an
+    # effectively-random within-cell subsample at rate p = got/true, and
+    # the kNN density estimate scales by p (r_k grows by 1/sqrt(p)).
+    # Dividing by p restores the density unbiasedly; exact (p == 1)
+    # windows are untouched, so small-map oracle parity is unchanged.
+    # The reference needs no such term — its photon octree subdivides
+    # adaptively to <=16/leaf (photonMap.cpp:137-192).
+    p_rate = jnp.where(n_true > 0,
+                       n_got.astype(dt) / jnp.maximum(n_true, 1).astype(dt),
+                       1.0)
+    return est / jnp.maximum(p_rate, 1e-6)[:, None]
 
 
 def sample_photons_backend(pm: PhotonMap, point, direction, k,

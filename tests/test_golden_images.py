@@ -85,3 +85,75 @@ def test_caustics02_matches_reference_render():
     # measured 0.008/0.040 at these settings + headroom
     assert mean < 0.02, f"caustics_02 mean abs err {mean}"
     assert p95 < 0.08, f"caustics_02 P95 abs err {p95}"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_glossy_cornell_matches_reference_render():
+    """scenes/cornell/render_glossy.png — the only reference golden
+    exercising the Phong-lobe roughness path (raytracer.h:360-378).
+
+    No .scn for the glossy variant is committed upstream, so the scene is
+    reconstructed from test.scn with the mirror sphere's roughness raised
+    (the golden shows a frosted, blurred reflection).  Assertions:
+    the glossy render must land CLOSER to the glossy golden than the
+    mirror render does, and within a documented absolute tolerance."""
+    import jax.numpy as jnp
+
+    ls = load_scene(f"{REF}/scenes/cornell/test.scn")
+    cfg = ls.config.replace(min_samples=4, max_samples=4, max_depth=6,
+                            adaptive=False)
+    cam = Camera(pos=ls.camera_pos, look_at=ls.camera_look_at)
+
+    def render_with_rough(rough5):
+        rough = ls.scene.materials.roughness
+        scene = ls.scene.replace(materials=ls.scene.materials.replace(
+            roughness=rough.at[5].set(rough5)))
+        r = Renderer(scene, cam, cfg, SIZE, SIZE)
+        return np.asarray(r.tonemap(r.render()))
+
+    img_mirror = render_with_rough(0.0)
+    img_glossy = render_with_rough(0.08)
+    gold = _golden(f"{REF}/scenes/cornell/render_glossy.png")
+
+    mean_g, p95_g = _stats(img_glossy, gold)
+    mean_m, _ = _stats(img_mirror, gold)
+    assert mean_g < mean_m, (
+        f"glossy render no closer to glossy golden: {mean_g} vs {mean_m}")
+    # absolute bound: golden includes the (missing) frosted dragon-side
+    # sphere; tolerance documented from measured values + headroom
+    assert mean_g < 0.075, f"glossy mean abs err {mean_g}"
+    assert p95_g < 0.17, f"glossy P95 abs err {p95_g}"
+    # the sphere's reflection must actually blur: local contrast inside
+    # the sphere region drops versus the mirror render
+    sph = np.s_[34:58, 38:62]
+    var_m = img_mirror[sph].std()
+    var_g = img_glossy[sph].std()
+    assert var_g < var_m, (var_g, var_m)
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_glass_matches_reference_render():
+    """scenes/glass/render.png — the one bundled scene exercising image
+    textures (sandstone.png 4x4) + deep refraction stacks + photons
+    together (glass.scn:1-28).  Low-fidelity statistical check: 2 spp /
+    5k photons vs the golden's converged 8-32spp / 275k; glass.obj (the
+    stemware on the left) is MISSING from the checkout like dragon.obj,
+    and the 95000-intensity light makes 2 spp firefly-noisy — measured
+    mean 0.157, so the tolerance is 0.19.  The high-fidelity side-by-side
+    comes from scripts/bench_glass.py on TPU."""
+    img = _render(f"{REF}/scenes/glass/glass.scn", spp=2, depth=5,
+                  photons=5000, size=96)
+    gold = _golden(f"{REF}/scenes/glass/render.png", size=96)
+    mean, _ = _stats(img, gold)
+    assert np.isfinite(img).all()
+    assert mean < 0.19, f"glass mean abs err {mean}"
+    # structure that survives the noise: overall exposure matches, the
+    # green glass ashtray region is green-dominant, and the sandstone
+    # floor is warm (R > B) in both renders
+    assert abs(img.mean() - gold.mean()) < 0.06, (img.mean(), gold.mean())
+    ash = img[62:74, 40:58]
+    assert ash[..., 1].mean() > ash[..., 2].mean(), "ashtray not green"
+    floor = img[80:95, 8:60]
+    gfloor = gold[80:95, 8:60]
+    assert floor[..., 0].mean() > floor[..., 2].mean()
+    assert gfloor[..., 0].mean() > gfloor[..., 2].mean()

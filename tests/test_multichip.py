@@ -103,3 +103,27 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_init_distributed_single_process():
+    """Exercise the jax.distributed multi-host entry once in-process
+    (single-node form) so the pod code path isn't dead code guarded only
+    by real hardware (r3 verdict weak #6).  Runs in a subprocess: \
+`jax.distributed.initialize` mutates process-global state."""
+    import subprocess, sys, os
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from gi_raytracer_tpu.parallel.mesh import init_distributed\n"
+        "mesh = init_distributed(coordinator_address='localhost:43219',\n"
+        "                        num_processes=1, process_id=0)\n"
+        "assert mesh.devices.size >= 1, mesh\n"
+        "assert mesh.axis_names == ('shard',), mesh.axis_names\n"
+        "print('DIST_OK', mesh.devices.size)\n"
+    ) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert "DIST_OK" in out.stdout, (out.stdout, out.stderr)

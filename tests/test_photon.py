@@ -135,3 +135,36 @@ def test_caustic_estimate_positive_under_sphere():
     assert est[0].sum() > est[1].sum(), (
         f"caustic not concentrated under sphere: {est}")
     assert np.isfinite(est).all()
+
+
+def test_dense_map_truncation_correction():
+    """When cell occupancy exceeds the gather cap (dense maps past the
+    grid's resolution ceiling), the estimate is rescaled by the window
+    subsample rate — without it, a 7.5M-photon planar map deflated the
+    caustic estimate ~265x and the caustics_02 streaks vanished (r4).
+
+    Uniform-density photon disc: the corrected estimate must approximate
+    the analytic photon-energy density col * density, independent of the
+    truncation level."""
+    rng = np.random.default_rng(7)
+    P = 200_000
+    # uniform disc of radius 1 on the y=0 plane
+    r = np.sqrt(rng.uniform(0, 1, P))
+    th = rng.uniform(0, 2 * np.pi, P)
+    pos = np.stack([r * np.cos(th), np.zeros(P), r * np.sin(th)], 1)
+    up = np.tile(np.array([0.0, 1.0, 0.0]), (P, 1))
+    col = np.full((P, 3), 1e-6)
+    batch = PhotonBatch(jnp.asarray(pos, jnp.float32),
+                        jnp.asarray(up, jnp.float32),
+                        jnp.asarray(col, jnp.float32), jnp.ones(P, bool))
+    # tiny grid -> massive per-cell occupancy -> cap truncation certain
+    pm = build_photon_map(batch, (-2, -2, -2), (2, 2, 2),
+                          max_dim=16, window_cap=64)
+    q = jnp.asarray(np.stack([[0.1, 0.0, 0.05], [-0.2, 0.0, 0.1]], 0)
+                    .astype(np.float32))
+    d = jnp.asarray(np.tile(np.array([[0.0, 1.0, 0.0]], np.float32), (2, 1)))
+    est = np.asarray(sample_photons(pm, q, d, 32))
+    # analytic: density P/pi (photons per unit area) * col * dot(up, up)
+    expect = (P / np.pi) * 1e-6
+    ratio = est[:, 0] / expect
+    assert np.all(ratio > 0.5) and np.all(ratio < 2.0), (est[:, 0], expect)
