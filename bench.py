@@ -27,23 +27,29 @@ Also reported:
     occupied windows) instead of uniform random volume points (mostly
     empty windows) — the old protocol flattered the gather by ~8x.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); the north
-star is >=50x a 32-core CPU running the reference.  We report against a
-measured proxy: the reference's single-thread C++ renderer does ~1-2 Mrays/s
-per core on cornell-class scenes => a 32-core CPU ~= 48 Mrays/s.  That
-constant (48e6) is used until a measured reference baseline lands in
-BASELINE.json.
+vs_baseline: MEASURED (r5).  scripts/ref_baseline/build_and_run.sh builds
+the reference headless (its own sources + a QImage shim) and times the
+exact headline workload (cornell 512x512 / 8spp fixed / 750k-photon map)
+on this host's cores; BASELINE.json `measured_reference` holds the result
+(198.5 s on 2 cores = 58.0k rays/s/core).  vs_baseline divides by the
+32-core linear projection (1.856 Mrays/s) — the >=50x north-star
+denominator; `vs_ref_host` divides by the as-measured 2-core number.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-REF_32CORE_RAYS_PER_S = 48e6  # documented proxy, see module docstring
+_BASE = json.load(open(os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), "BASELINE.json")))
+REF_32CORE_RAYS_PER_S = _BASE["measured_reference"][
+    "rays_per_s_32core_projected"]
+REF_HOST_RAYS_PER_S = _BASE["measured_reference"]["rays_per_s_measured_2core"]
 
 SCENE = "/root/reference/scenes/cornell/test.scn"
 WIDTH = HEIGHT = 512
@@ -145,6 +151,10 @@ def main():
             "value": rays_per_s,
             "unit": "rays/s",
             "vs_baseline": rays_per_s / REF_32CORE_RAYS_PER_S,
+            "vs_ref_host": rays_per_s / REF_HOST_RAYS_PER_S,
+            "baseline": "measured 32-core projection "
+                        f"{REF_32CORE_RAYS_PER_S:.3g} rays/s "
+                        "(BASELINE.json measured_reference)",
             "seconds": dt,
             "rays_traced": rays,
             "with_photon_map": True,

@@ -352,14 +352,18 @@ def _cone_pass(scene: Scene, ro, rd, hit: Hit, salt, active=None,
 
 def use_pallas(scene: Scene, backend: str = "auto") -> bool:
     import jax as _jax
-    from .pallas_intersect import VMEM_TRI_CAP
+    from .pallas_intersect import STREAM_TRI_CAP
 
     if backend == "jnp":
         return False
     if backend == "pallas":
         return True
+    # <= VMEM_TRI_CAP runs the dense VMEM-resident kernel; beyond it the
+    # streaming superchunk kernel serves scenes up to STREAM_TRI_CAP from
+    # HBM (pallas_intersect._stream_kernel); only past THAT does the jnp
+    # lockstep BVH walk remain (CPU / pathological scenes)
     return (_jax.default_backend() not in ("cpu",)
-            and 0 < scene.n_tris <= VMEM_TRI_CAP)
+            and 0 < scene.n_tris <= STREAM_TRI_CAP)
 
 
 def _compacted(fn, ro, rd, active, *per_lane):

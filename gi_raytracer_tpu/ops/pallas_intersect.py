@@ -370,6 +370,277 @@ def _dense_trace(feat, cbox, ro, rd, t_lim, active, rid, salt, diag,
     return out_t[:, 0], prim[:, 0]
 
 
+# ---------------------------------------------------------------------------
+# streaming variant: triangles live in HBM, superchunks DMA'd on demand
+# ---------------------------------------------------------------------------
+
+SC_CHUNKS = 16                      # chunks per superchunk (2048 tris)
+SC_ROWS = SC_CHUNKS * 10            # feature rows per superchunk (8-aligned)
+STREAM_TRI_CAP = 4_000_000          # HBM feature table cap (~160 MB)
+
+
+def _stream_kernel(salt_ref, ro_ref, rd_ref, tlim_ref, act_ref, rid_ref,
+                   order_ref, entry_ref, cap0_ref, feat_hbm,
+                   out_t_ref, prim_ref, *, n_sc: int, any_hit: bool,
+                   eps: float, all_opaque: bool):
+    """Streaming counterpart of :func:`_kernel` for scenes past the VMEM
+    triangle cap (reference octree.cpp:150-313 serves any scene size from
+    DRAM; this is its TPU shape).  The per-tile visit loop walks
+    SUPERCHUNKS (16 chunks = 2048 tris) in ascending entry order; each
+    visit DMAs the superchunk's (SC_ROWS, 128) feature block HBM->VMEM
+    double-buffered — the next block streams in while the current one is
+    tested — and the collective t-cap ends the walk exactly like the dense
+    kernel.  HBM traffic is O(visited superchunks), not O(scene).
+    feat_hbm (n_sc * SC_ROWS, 128) ANY/HBM: per superchunk, 16 chunks x
+    10 rows (v0 xyz, e1 xyz, e2 xyz, accept).
+    """
+    RT = RAY_TILE
+    CK = TRI_CHUNK
+
+    ox = ro_ref[:, 0:1]
+    oy = ro_ref[:, 1:2]
+    oz = ro_ref[:, 2:3]
+    dx = rd_ref[:, 0:1]
+    dy = rd_ref[:, 1:2]
+    dz = rd_ref[:, 2:3]
+    act = act_ref[:, 0:1] > 0.5
+    t_lim = tlim_ref[:, 0:1]
+    big = jnp.float32(_BIG)
+    t_eff = jnp.where(act, t_lim, -big)
+
+    cxx = oy * dz - oz * dy
+    cxy = oz * dx - ox * dz
+    cxz = ox * dy - oy * dx
+
+    row = pl.program_id(0) % ORDER_ROWS
+    rid = jnp.broadcast_to(rid_ref[:, 0:1], (RT, CK)).astype(jnp.uint32)
+    salt = salt_ref[0, 0].astype(jnp.uint32)
+    eps_h = jnp.float32(eps)
+    t_cap0 = cap0_ref[row, 0]
+
+    def scoped(scratch, sem):
+        def get_dma(slot, j):
+            sc = order_ref[row, jnp.minimum(j, n_sc - 1)]
+            return pltpu.make_async_copy(
+                feat_hbm.at[pl.ds(sc * SC_ROWS, SC_ROWS), :],
+                scratch.at[slot], sem.at[slot])
+
+        def test_chunk(buf, ck, sc, best_t, best_c):
+            b = ck * 10
+            v0x = buf[b + 0:b + 1, :]
+            v0y = buf[b + 1:b + 2, :]
+            v0z = buf[b + 2:b + 3, :]
+            e1x = buf[b + 3:b + 4, :]
+            e1y = buf[b + 4:b + 5, :]
+            e1z = buf[b + 5:b + 6, :]
+            e2x = buf[b + 6:b + 7, :]
+            e2y = buf[b + 7:b + 8, :]
+            e2z = buf[b + 8:b + 9, :]
+            n2x = e1y * e2z - e1z * e2y
+            n2y = e1z * e2x - e1x * e2z
+            n2z = e1x * e2y - e1y * e2x
+            fux = v0y * e2z - v0z * e2y
+            fuy = v0z * e2x - v0x * e2z
+            fuz = v0x * e2y - v0y * e2x
+            fvx = v0y * e1z - v0z * e1y
+            fvy = v0z * e1x - v0x * e1z
+            fvz = v0x * e1y - v0y * e1x
+            d0 = v0x * n2x + v0y * n2y + v0z * n2z
+
+            m = dx * n2x + dy * n2y + dz * n2z
+            sm = jnp.where(m >= 0.0, 1.0, -1.0)
+            ds = m * sm
+            ns = -sm
+            u_num = ((cxx * e2x + cxy * e2y + cxz * e2z)
+                     + (dx * fux + dy * fuy + dz * fuz))
+            v_sum = ((cxx * e1x + cxy * e1y + cxz * e1z)
+                     + (dx * fvx + dy * fvy + dz * fvz))
+            t_num = (ox * n2x + oy * n2y + oz * n2z) - d0
+            us = u_num * ns
+            vs = v_sum * sm
+            ts = t_num * ns
+            ok = ((ds >= eps_h) & (us >= 0.0) & (vs >= 0.0)
+                  & (us + vs <= ds) & (ts > 0.0))
+            tc = ts * pl.reciprocal(jnp.maximum(ds, 1e-30), approx=True)
+            ok &= (tc < t_eff) & (tc < best_t)
+
+            c_g = sc * jnp.int32(SC_CHUNKS) + jnp.int32(ck)
+            if not all_opaque:
+                accept = buf[b + 9:b + 10, :]
+                prim_g = (c_g.astype(jnp.uint32) * jnp.uint32(CK)
+                          + jax.lax.broadcasted_iota(jnp.uint32,
+                                                     (RT, CK), 1))
+                h = _mix32(rid * jnp.uint32(0x9E3779B9)
+                           ^ _mix32(prim_g + jnp.uint32(0x7F4A7C15) ^ salt))
+                uni = ((h >> 8).astype(jnp.int32).astype(jnp.float32)
+                       * jnp.float32(5.960464477539063e-08))
+                ok &= (uni < accept) | (accept >= 1.0)
+
+            tt = jnp.where(ok, tc, big)
+            better = tt < best_t
+            best_t = jnp.where(better, tt, best_t)
+            best_c = jnp.where(better, c_g, best_c)
+            return best_t, best_c
+
+        def shrink(best_t):
+            per_ray = jnp.min(best_t, axis=1, keepdims=True)
+            if any_hit:
+                need = act & (per_ray >= big)
+                return jnp.max(jnp.where(need, t_lim, -big))
+            return jnp.max(jnp.where(act, jnp.minimum(per_ray, t_lim),
+                                     -big))
+
+        def cond(carry):
+            i, best_t, best_c, t_cap = carry
+            i_s = jnp.minimum(i, n_sc - 1)
+            return (i < n_sc) & (entry_ref[row, i_s] <= t_cap)
+
+        def body(carry):
+            i, best_t, best_c, t_cap = carry
+            # speculative prefetch of the next superchunk overlaps its DMA
+            # with this visit's 16-chunk test burst
+            @pl.when(i + 1 < n_sc)
+            def _():
+                get_dma((i + 1) % 2, i + 1).start()
+
+            get_dma(i % 2, i).wait()
+            buf = scratch.at[i % 2]
+            sc = order_ref[row, jnp.minimum(i, n_sc - 1)]
+            for ck in range(SC_CHUNKS):
+                best_t, best_c = test_chunk(buf, ck, sc, best_t, best_c)
+            new_cap = jnp.minimum(t_cap, shrink(best_t))
+            return i + 1, best_t, best_c, new_cap
+
+        first = (jnp.int32(0) < n_sc) & (entry_ref[row, 0] <= t_cap0)
+
+        @pl.when(first)
+        def _():
+            get_dma(0, 0).start()
+
+        init = (jnp.int32(0),
+                jnp.full((RT, CK), big, jnp.float32),
+                jnp.full((RT, CK), -1, jnp.int32),
+                t_cap0)
+        i_end, best_t, best_c, _ = jax.lax.while_loop(cond, body, init)
+
+        # drain the prefetch the final visit issued (exit-by-cap leaves it
+        # in flight; an outstanding DMA at kernel end is illegal)
+        @pl.when((i_end > 0) & (i_end < n_sc))
+        def _():
+            get_dma(i_end % 2, i_end).wait()
+
+        tmin = jnp.min(best_t, axis=1, keepdims=True)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RT, CK), 1)
+        pid = jnp.where((best_t <= tmin) & (best_c >= 0),
+                        best_c * jnp.int32(CK) + lane, jnp.int32(_IMAX))
+        pmin = jnp.min(pid, axis=1, keepdims=True)
+        out_t_ref[:, 0:1] = tmin
+        prim_ref[:, 0:1] = jnp.where(pmin == jnp.int32(_IMAX),
+                                     jnp.int32(-1), pmin)
+
+    pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((2, SC_ROWS, TRI_CHUNK), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)))
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "eps", "all_opaque",
+                                             "interpret"))
+def _stream_trace(feat_sc, scbox, ro, rd, t_lim, active, rid, salt, diag,
+                  any_hit=False, eps=1e-5, all_opaque=False,
+                  interpret=False):
+    """Streaming trace: feat_sc (n_sc * SC_ROWS, 128) stays in HBM;
+    culling/ordering run at SUPERCHUNK granularity (scbox (8, n_sc_pad))."""
+    R = ro.shape[0]
+    n_tiles = R // RAY_TILE
+    n_sc = feat_sc.shape[0] // SC_ROWS
+    ncp = -(-n_sc // 128) * 128
+    rpad = (-n_tiles) % ORDER_ROWS
+
+    act_b = active[:, 0] > 0.5
+    t_eff = jnp.minimum(t_lim[:, 0], diag)
+    score = _chunk_cull(scbox, ro, rd, t_eff, act_b, n_sc, diag)
+    order = jnp.argsort(score, axis=1).astype(jnp.int32)
+    entry = jnp.take_along_axis(score, order, axis=1)
+    order = jnp.pad(order, ((0, rpad), (0, ncp - n_sc)))
+    entry = jnp.pad(entry, ((0, rpad), (0, ncp - n_sc)),
+                    constant_values=_BIG)
+    cap0 = jnp.max(jnp.where(act_b, jnp.clip(t_eff, 0.0, diag), -_BIG)
+                   .reshape(n_tiles, RAY_TILE), axis=1, keepdims=True)
+    cap0 = jnp.pad(cap0, ((0, rpad), (0, 0)), constant_values=-_BIG)
+
+    kernel = functools.partial(_stream_kernel, n_sc=n_sc, any_hit=any_hit,
+                               eps=eps, all_opaque=all_opaque)
+    out_t, prim = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ORDER_ROWS, ncp), lambda i: (i // ORDER_ROWS, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ORDER_ROWS, ncp), lambda i: (i // ORDER_ROWS, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((ORDER_ROWS, 1), lambda i: (i // ORDER_ROWS, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # feat stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RAY_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, 1), jnp.float32),
+            jax.ShapeDtypeStruct((R, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(salt, ro, rd, t_lim, active, rid, order, entry, cap0, feat_sc)
+    return out_t[:, 0], prim[:, 0]
+
+
+def build_tri_features_stream(scene):
+    """Superchunk-major HBM feature table (n_sc * SC_ROWS, 128) + per-
+    superchunk bounds (8, n_sc) for the streaming kernel: the dense (10,
+    T_pad) SoA regrouped so each superchunk's 16 chunks x 10 rows are one
+    contiguous, DMA-aligned block."""
+    feat, cbox = build_tri_features(scene)            # (10, T_pad), (8, nC)
+    Tp = feat.shape[1]
+    nC = Tp // TRI_CHUNK
+    n_sc = -(-nC // SC_CHUNKS)
+    cpad = n_sc * SC_CHUNKS - nC
+    if cpad:
+        pad_feat = jnp.zeros((10, cpad * TRI_CHUNK), jnp.float32)
+        pad_feat = pad_feat.at[9, :].set(-1.0)        # accept = never
+        feat = jnp.concatenate([feat, pad_feat], axis=1)
+    # (10, n_sc, 16, 128) -> (n_sc, 16, 10, 128) -> (n_sc * 160, 128)
+    feat_sc = feat.reshape(10, n_sc, SC_CHUNKS, TRI_CHUNK) \
+        .transpose(1, 2, 0, 3).reshape(n_sc * SC_ROWS, TRI_CHUNK)
+
+    # superchunk bounds = union of member chunk bounds
+    big = jnp.float32(_BIG)
+    cb = jnp.pad(cbox[:, :nC], ((0, 0), (0, cpad)),
+                 constant_values=0.0)
+    if cpad:  # padded chunks must not grow the union
+        cb = cb.at[0:3, nC:].set(big)
+        cb = cb.at[3:6, nC:].set(-big)
+    lo = jnp.min(cb[0:3].reshape(3, n_sc, SC_CHUNKS), axis=2)
+    hi = jnp.max(cb[3:6].reshape(3, n_sc, SC_CHUNKS), axis=2)
+    scbox = jnp.concatenate([lo, hi, jnp.zeros((2, n_sc), jnp.float32)],
+                            axis=0)
+    return feat_sc, scbox
+
+
 def build_tri_features(scene):
     """(10, T_pad) triangle SoA (v0, e1, e2, accept) + (8, n_chunks_pad)
     chunk bboxes from the (BVH-leaf-ordered) scene triangle arrays.  jnp;
@@ -467,18 +738,26 @@ def pallas_prim_query(scene, ro, rd, t_max=None, salt=0, eps=1e-5,
         ray_id = jnp.arange(R, dtype=jnp.int32)
     ridp = jnp.pad(ray_id.astype(jnp.int32)[:, None], ((0, pad), (0, 0)))
 
-    feat, cbox = build_tri_features(scene)
-    feat = jax.lax.stop_gradient(feat)
-    cbox = jax.lax.stop_gradient(cbox)
     diag = jnp.linalg.norm(jax.lax.stop_gradient(
         (scene.world_max - scene.world_min).astype(dt))) * 1.001
     salt_arr = jnp.asarray(salt, jnp.int32).reshape(1, 1)
 
-    tk, prim = _dense_trace(feat, cbox, rop, rdp, tl, ac, ridp,
-                            salt_arr, diag,
-                            any_hit=any_hit, eps=eps,
-                            all_opaque=scene.all_opaque,
-                            interpret=interpret)
+    if scene.n_tris > VMEM_TRI_CAP:
+        # streaming path: triangles stay in HBM, superchunks DMA'd on
+        # demand (reference octree.cpp:150-313's any-scene-size role)
+        feat_sc, scbox = build_tri_features_stream(scene)
+        tk, prim = _stream_trace(
+            jax.lax.stop_gradient(feat_sc), jax.lax.stop_gradient(scbox),
+            rop, rdp, tl, ac, ridp, salt_arr, diag,
+            any_hit=any_hit, eps=eps, all_opaque=scene.all_opaque,
+            interpret=interpret)
+    else:
+        feat, cbox = build_tri_features(scene)
+        tk, prim = _dense_trace(
+            jax.lax.stop_gradient(feat), jax.lax.stop_gradient(cbox),
+            rop, rdp, tl, ac, ridp, salt_arr, diag,
+            any_hit=any_hit, eps=eps, all_opaque=scene.all_opaque,
+            interpret=interpret)
     return (jax.lax.stop_gradient(tk[:R]),
             jax.lax.stop_gradient(prim[:R]))
 

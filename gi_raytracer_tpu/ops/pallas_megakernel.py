@@ -312,12 +312,13 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
     meta SMEM (1, 8) i32: [wave_salt]
     scal SMEM (1, 8) f32: [diag]
     lights SMEM (8, 8) f32 rows: [px,py,pz, cr,cg,cb, rad, 0]
-    rays (24, RT) f32: rows 0-2 ro, 3-5 rd, 6..6+D sx, 14..14+D sy
+    rays (40, RT) f32: rows 0-2 ro, 3-5 rd, 6..6+D sx, 22..22+D sy
     rid (1, RT) i32 global lane ids
     attr (T_pad, 64) f32 packed shade rows (shading.PR_* layout)
     cbox (8, ncp) f32 chunk bounds
     out (8, RT) f32: rows 0-2 radiance, 3 closest count, 4 shadow count
-    caustic_out[0] (80, RT) f32: rows 3d+[0..3) point, 24+3d dir, 48+3d wt
+    caustic_out[0] (roundup(9D, 8), RT) f32: rows 3d+[0..3) point,
+        3D+3d+[0..3) dir, 6D+3d+[0..3) weight
     """
     salt0 = meta_ref[0, 0].astype(jnp.uint32)
     diag = scal_ref[0, 1]
@@ -457,7 +458,7 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
         refz = jnp.where(tir, rfz, rxz)
 
         sx = rays_ref[6 + d:7 + d, :]
-        sy = rays_ref[14 + d:15 + d, :]
+        sy = rays_ref[22 + d:23 + d, :]
         dlx, dly, dlz = _cos_power_local(sx, sy, jnp.float32(0.5))
         ddx, ddy, ddz = _frame_apply(fnx, fny, fnz, dlx, dly, dlz)
         inv_pow = 1.0 / (1.0 / jnp.maximum(rough, 1e-6) + 1.0)
@@ -560,19 +561,32 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
         radz = radz + vmask * tz * colz * idz_ + vs_mask * tz * emz \
             + miss * tz * jnp.float32(ambient[2])
 
-        if with_caustic and d <= caustic_max_depth:
-            qv = valid & survive
-            far = jnp.float32(1e30)
-            caustic_out[0][3 * d:3 * d + 1, :] = jnp.where(qv, pxw, far)
-            caustic_out[0][3 * d + 1:3 * d + 2, :] = jnp.where(qv, pyw, far)
-            caustic_out[0][3 * d + 2:3 * d + 3, :] = jnp.where(qv, pzw, far)
-            caustic_out[0][24 + 3 * d:25 + 3 * d, :] = ox
-            caustic_out[0][25 + 3 * d:26 + 3 * d, :] = oy
-            caustic_out[0][26 + 3 * d:27 + 3 * d, :] = oz
-            qw = vs_mask
-            caustic_out[0][48 + 3 * d:49 + 3 * d, :] = qw * tx * colx
-            caustic_out[0][49 + 3 * d:50 + 3 * d, :] = qw * ty * coly
-            caustic_out[0][50 + 3 * d:51 + 3 * d, :] = qw * tz * colz
+        if with_caustic:
+            pb, db, wb = 3 * d, 3 * D + 3 * d, 6 * D + 3 * d
+            if d <= caustic_max_depth:
+                qv = valid & survive
+                far = jnp.float32(1e30)
+                caustic_out[0][pb:pb + 1, :] = jnp.where(qv, pxw, far)
+                caustic_out[0][pb + 1:pb + 2, :] = jnp.where(qv, pyw, far)
+                caustic_out[0][pb + 2:pb + 3, :] = jnp.where(qv, pzw, far)
+                caustic_out[0][db:db + 1, :] = ox
+                caustic_out[0][db + 1:db + 2, :] = oy
+                caustic_out[0][db + 2:db + 3, :] = oz
+                qw = vs_mask
+                caustic_out[0][wb:wb + 1, :] = qw * tx * colx
+                caustic_out[0][wb + 1:wb + 2, :] = qw * ty * coly
+                caustic_out[0][wb + 2:wb + 3, :] = qw * tz * colz
+            else:
+                # depths past the caustic gate still need their rows
+                # INITIALIZED (far point, zero weight): the host sums over
+                # all D query rows, and caustic_max_depth < max_depth - 1 is
+                # a legal config — uninitialized VMEM here corrupted
+                # radiance (r4 advisor finding)
+                for base in (pb, db, wb):
+                    fill = jnp.full((1, RT), 1e30, f32) if base == pb \
+                        else zeros
+                    for rr in range(base, base + 3):
+                        caustic_out[0][rr:rr + 1, :] = fill
 
         cnt_closest = cnt_closest + alive.astype(f32)
         cnt_shadow = cnt_shadow + jnp.float32(L) * vmask
@@ -594,11 +608,9 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
     out_ref[4:5, :] = cnt_shadow
     out_ref[5:8, :] = jnp.zeros((3, RT), f32)
     if with_caustic:
-        for r in range(3 * D, 24):
-            caustic_out[0][r:r + 1, :] = jnp.full((1, RT), 1e30, f32)
-            caustic_out[0][24 + r:25 + r, :] = zeros
-            caustic_out[0][48 + r:49 + r, :] = zeros
-        caustic_out[0][72:80, :] = jnp.zeros((8, RT), f32)
+        CR = -(-9 * D // 8) * 8
+        for r in range(9 * D, CR):   # alignment pad rows
+            caustic_out[0][r:r + 1, :] = zeros
 
 
 # ---------------------------------------------------------------------------
@@ -608,11 +620,30 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
 def mega_eligible(scene, cfg) -> bool:
     """Static gate: scenes the megakernel handles (callers fall back to the
     staged integrator otherwise)."""
-    return (scene.n_tris > 0 and scene.n_tris <= MEGA_TRI_CAP
-            and scene.n_spheres == 0 and getattr(scene, "n_cones", 0) == 0
-            and not scene.has_fog and not scene.has_image_tex
-            and scene.lights.count <= 4
-            and cfg.dtype == "float32" and cfg.max_depth <= 8)
+    return not mega_why_not(scene, cfg)
+
+
+def mega_why_not(scene, cfg) -> list:
+    """The failed eligibility conditions, as human-readable strings
+    (empty = eligible)."""
+    why = []
+    if not (0 < scene.n_tris <= MEGA_TRI_CAP):
+        why.append(f"n_tris {scene.n_tris} not in (0, {MEGA_TRI_CAP}]")
+    if scene.n_spheres != 0:
+        why.append(f"{scene.n_spheres} analytic spheres")
+    if getattr(scene, "n_cones", 0) != 0:
+        why.append(f"{scene.n_cones} analytic cones")
+    if scene.has_fog:
+        why.append("fog")
+    if scene.has_image_tex:
+        why.append("image textures")
+    if scene.lights.count > 4:
+        why.append(f"{scene.lights.count} lights > 4")
+    if cfg.dtype != "float32":
+        why.append(f"dtype {cfg.dtype}")
+    if cfg.max_depth > 16:
+        why.append(f"max_depth {cfg.max_depth} > 16")
+    return why
 
 
 def build_mega_tables(scene):
@@ -658,8 +689,9 @@ def _mega_call(meta, scal, lights, rays, rid, attr, cbox,
     out_specs = [pl.BlockSpec((8, RT), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
     if with_caustic:
-        out_shapes.append(jax.ShapeDtypeStruct((80, R), jnp.float32))
-        out_specs.append(pl.BlockSpec((80, RT), lambda i: (0, i),
+        CR = -(-9 * D // 8) * 8
+        out_shapes.append(jax.ShapeDtypeStruct((CR, R), jnp.float32))
+        out_specs.append(pl.BlockSpec((CR, RT), lambda i: (0, i),
                                       memory_space=pltpu.VMEM))
     outs = pl.pallas_call(
         kernel,
@@ -668,7 +700,7 @@ def _mega_call(meta, scal, lights, rays, rid, attr, cbox,
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((8, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((24, RT), lambda i: (0, i),
+            pl.BlockSpec((40, RT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, RT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -704,9 +736,9 @@ def radiance_wave_mega(scene, cfg, ro, rd, sx_all, sy_all, lane_u32,
 
     rays = jnp.concatenate([
         ro.T.astype(jnp.float32), rd.T.astype(jnp.float32),
-        jnp.pad(sx_all.astype(jnp.float32), ((0, 8 - D), (0, 0))),
-        jnp.pad(sy_all.astype(jnp.float32), ((0, 8 - D), (0, 0))),
-        jnp.zeros((2, R), jnp.float32)], axis=0)     # (24, R)
+        jnp.pad(sx_all.astype(jnp.float32), ((0, 16 - D), (0, 0))),
+        jnp.pad(sy_all.astype(jnp.float32), ((0, 16 - D), (0, 0))),
+        jnp.zeros((2, R), jnp.float32)], axis=0)     # (40, R)
     rid = lane_u32.astype(jnp.int32).reshape(1, R)
     meta = jnp.asarray(wave_salt, jnp.int32).reshape(1, 1)
     meta = jnp.pad(meta, ((0, 0), (0, 7)))
@@ -743,11 +775,56 @@ def radiance_wave_mega(scene, cfg, ro, rd, sx_all, sy_all, lane_u32,
         q = outs[1]
         # (R*D, 3) batched caustic queries across every bounce
         pts = q[0:3 * D, :].T.reshape(R, D, 3).reshape(R * D, 3)
-        dirs = q[24:24 + 3 * D, :].T.reshape(R, D, 3).reshape(R * D, 3)
-        wts = q[48:48 + 3 * D, :].T.reshape(R, D, 3).reshape(R * D, 3)
-        est = sample_photons_backend(photon_map, pts, dirs, cfg.knn_k,
-                                     cfg.knn_backend)
+        dirs = q[3 * D:6 * D, :].T.reshape(R, D, 3).reshape(R * D, 3)
+        wts = q[6 * D:9 * D, :].T.reshape(R, D, 3).reshape(R * D, 3)
+        est = _caustic_estimate(photon_map, cfg, pts, dirs, wts, R * D)
         radiance = radiance + jnp.sum(
             (wts * est).reshape(R, D, 3), axis=1)
 
     return radiance.astype(ro.dtype), (n_closest, n_shadow)
+
+
+# fraction of the R*D query slots the compacted kNN stream budgets for
+# LIVE queries; RR-killed / zero-weight slots are compacted out before the
+# gather pipeline (whose every stage costs linearly in lanes).  Cornell at
+# depth 8 runs ~65-70% live (white walls keep RR survival high), so 13/16
+# covers it; overflow falls back to the full-width call (identical math).
+MEGA_QCAP_FRAC = 13 / 16
+
+
+def _caustic_estimate(photon_map, cfg, pts, dirs, wts, RD):
+    """kNN caustic estimate over the megakernel's per-bounce query records,
+    with the dead lanes (far-sentinel points from RR-killed / invalid
+    bounces, raytracer.h:263-272, and zero-weight lanes) compacted OUT
+    before the gather.  Every stage of the tiled gather — morton sort,
+    prep, chunk fetch, kernels — costs linearly in lanes, so skipping dead
+    slots is a direct speedup; per-query results are unchanged (each
+    query's estimate is independent of its neighbors in the stream)."""
+    from ..render.photon import sample_photons_backend
+
+    live = (pts[:, 0] < 1e29) & (jnp.max(wts, axis=-1) > 0)
+    n_live = jnp.sum(live.astype(jnp.int32))
+    cap = max((int(RD * MEGA_QCAP_FRAC) + 1023) // 1024 * 1024, 1024)
+    cap = min(cap, RD)
+
+    a = live.astype(jnp.int32)
+    c = jnp.cumsum(a) - a                       # live lane -> compact slot
+
+    def compact_call():
+        slot = jnp.where(live, jnp.minimum(c, cap - 1), cap)
+        p_c = jnp.full((cap + 1, 3), 1e30, pts.dtype).at[slot].set(pts)
+        d_c = jnp.zeros((cap + 1, 3), dirs.dtype).at[slot].set(dirs)
+        e_c = sample_photons_backend(photon_map, p_c[:cap], d_c[:cap],
+                                     cfg.knn_k, cfg.knn_backend)
+        e_pad = jnp.concatenate(
+            [e_c, jnp.zeros((1, 3), e_c.dtype)], axis=0)
+        return jnp.where(live[:, None],
+                         e_pad[jnp.minimum(c, cap)], 0.0)
+
+    def full_call():
+        return sample_photons_backend(photon_map, pts, dirs, cfg.knn_k,
+                                      cfg.knn_backend)
+
+    if cap >= RD:
+        return full_call()
+    return jax.lax.cond(n_live <= cap, compact_call, full_call)

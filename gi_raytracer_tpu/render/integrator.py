@@ -235,10 +235,18 @@ def dispatch_wave(scene, cfg, ro, rd, sx_all, sy_all, key, wave_salt=0,
     `radiance_wave` directly — the megakernel is forward-only."""
     use_mega = False
     if cfg.integrator in ("auto", "mega"):
-        from ..ops.pallas_megakernel import mega_eligible
+        from ..ops.pallas_megakernel import mega_eligible, mega_why_not
         if mega_eligible(scene, cfg) and ro.shape[0] % 256 == 0:
             use_mega = (cfg.integrator == "mega"
                         or jax.default_backend() == "tpu")
+        elif cfg.integrator == "mega":
+            # an explicit force must not silently no-op (r4 advisor finding)
+            why = mega_why_not(scene, cfg)
+            if ro.shape[0] % 256 != 0:
+                why.append(f"lane count {ro.shape[0]} % 256 != 0")
+            raise ValueError(
+                "integrator='mega' requested but the scene is not "
+                "megakernel-eligible: " + "; ".join(why))
     if use_mega:
         from ..ops.pallas_megakernel import radiance_wave_mega
         R = ro.shape[0]

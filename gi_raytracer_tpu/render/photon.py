@@ -518,6 +518,16 @@ def _sample_photons_block(pm: PhotonMap, point, direction, k):
     # windows are untouched, so small-map oracle parity is unchanged.
     # The reference needs no such term — its photon octree subdivides
     # adaptively to <=16/leaf (photonMap.cpp:137-192).
+    #
+    # LIMITS of the correction (it preserves the mean, not the variance):
+    # the r_k^2 ∝ 1/p scaling assumes SURFACE-distributed photons (2-D
+    # manifolds — the only way caustic photons are stored, raytracer.h:
+    # 685-692, so the production paths satisfy it).  For a volumetric
+    # photon distribution r_k^2 would scale as p^(-2/3) and dividing by p
+    # over-inflates by ~p^(-1/3); p is also a whole-window aggregate, not
+    # per-cell.  Keep p near 1 by sizing the grid (build_photon_map
+    # refines until occupancy fits the cap) rather than leaning on this
+    # term.
     p_rate = jnp.where(n_true > 0,
                        n_got.astype(dt) / jnp.maximum(n_true, 1).astype(dt),
                        1.0)

@@ -175,14 +175,162 @@ def _make_tiled_fn(k: int, interpret: bool):
             (pm, point, direction)
 
     def bwd(res, g):
-        from .photon import sample_photons
         pm, point, direction = res
-        _, pull = jax.vjp(lambda pm_, p_, d_: sample_photons(pm_, p_, d_, k),
-                          pm, point, direction)
+        _, pull = jax.vjp(
+            lambda pm_, p_, d_: sample_photons_chunkrow(pm_, p_, d_, k),
+            pm, point, direction)
         return pull(g)
 
     f.defvjp(fwd, bwd)
     return f
+
+
+# ---------------------------------------------------------------------------
+# chunk-row differentiable path (the VJP workhorse)
+#
+# A pure-jnp forward that fetches each query's window candidates as WHOLE
+# 2 KB chunk rows of the cell-sorted photon table — the access pattern this
+# platform runs ~100x cheaper per byte than per-element gathers — then
+# top_k + Jensen in ordinary differentiable XLA.  Same estimator as
+# photon.sample_photons (same windows, same k-th radius semantics), but
+# its jax.vjp is ~an order of magnitude cheaper, so it backs the tiled
+# kernel's custom VJP (replacing the r4 reference-gather replay,
+# photon_knn.py VJP — VERDICT r4 #5).
+# ---------------------------------------------------------------------------
+
+CCAP = 16          # chunk budget per query (512 candidate slots)
+CR_BLK = 8192      # lanes per scan block (bounds the (B, 512, 16) fetch)
+
+
+def _chunkrow_block(pm, tbl, point, direction, k):
+    """(B,) queries -> (est (B, 3), overflow (B,)).  Differentiable."""
+    B = point.shape[0]
+    dt = point.dtype
+    nx, ny, nz = pm.dims
+    C_cells = nx * ny * nz
+    dims_i = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
+
+    p32 = point.astype(jnp.float32)
+    g = (p32 - pm.grid_min[None, :].astype(jnp.float32)) \
+        * pm.inv_cell[None, :].astype(jnp.float32)
+    cells = jnp.clip(g.astype(jnp.int32), 0, dims_i)
+
+    # the 9 contiguous z-runs of the clamped 3x3x3 window (cell-id order,
+    # so run starts ascend and the chunk cummax merge stays disjoint)
+    starts, ends = [], []
+    cx, cy, cz = cells[:, 0], cells[:, 1], cells[:, 2]
+    zlo = jnp.maximum(cz - 1, 0)
+    zhi = jnp.minimum(cz + 1, nz - 1)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            wx = cx + ox
+            wy = cy + oy
+            in_r = (wx >= 0) & (wx < nx) & (wy >= 0) & (wy < ny)
+            base = (jnp.clip(wx, 0, nx - 1) * ny
+                    + jnp.clip(wy, 0, ny - 1)) * nz
+            s = pm.cell_start[base + zlo]
+            e = pm.cell_start[base + zhi + 1]
+            starts.append(jnp.where(in_r, s, 0))
+            ends.append(jnp.where(in_r, e, 0))
+    r_s = jnp.stack(starts, axis=1)                       # (B, 9)
+    r_e = jnp.stack(ends, axis=1)
+    run_ok = r_e > r_s
+
+    # 32-aligned chunk ranges, cummax-merged so ranges stay disjoint
+    as_ = r_s // 32
+    ae_ = jnp.where(run_ok, -(-r_e // 32), 0)
+    cmax_inc = jax.lax.associative_scan(jnp.maximum, ae_, axis=1)
+    cmax_exc = jnp.concatenate(
+        [jnp.zeros((B, 1), ae_.dtype), cmax_inc[:, :-1]], axis=1)
+    lo_c = jnp.maximum(as_, cmax_exc)
+    rlen = jnp.where(run_ok, jnp.maximum(ae_ - lo_c, 0), 0)
+    prefix = jnp.cumsum(rlen, axis=1)                     # (B, 9)
+    n_chunks = prefix[:, -1]
+    overflow = n_chunks > CCAP
+
+    # expand the 9 ranges into the (B, CCAP) chunk-id list
+    jj = jnp.arange(CCAP, dtype=jnp.int32)[None, :]
+    run_of = jnp.zeros((B, CCAP), jnp.int32)
+    for r in range(9):
+        run_of = run_of + (jj >= prefix[:, r:r + 1]).astype(jnp.int32)
+    run_of = jnp.minimum(run_of, 8)
+    before = jnp.zeros((B, CCAP), jnp.int32)
+    startc = jnp.zeros((B, CCAP), jnp.int32)
+    for r in range(9):
+        is_r = run_of == r
+        if r > 0:
+            before = jnp.where(is_r, prefix[:, r - 1:r], before)
+        startc = jnp.where(is_r, lo_c[:, r:r + 1], startc)
+    sentinel = tbl.shape[0] - 1
+    cid = jnp.where(jj < jnp.minimum(n_chunks, CCAP)[:, None],
+                    jnp.clip(startc + (jj - before), 0, sentinel - 1),
+                    sentinel)
+
+    cand = tbl[cid].reshape(B, CCAP * 32, 16)             # the row fetch
+    qc = cells.astype(jnp.float32)
+    ok = ((jnp.abs(cand[:, :, 9] - qc[:, 0:1]) <= 1.0)
+          & (jnp.abs(cand[:, :, 10] - qc[:, 1:2]) <= 1.0)
+          & (jnp.abs(cand[:, :, 11] - qc[:, 2:3]) <= 1.0))
+    d2 = jnp.sum((cand[:, :, 0:3] - p32[:, None, :]) ** 2, -1)
+    d2 = jnp.where(ok, d2, jnp.inf)
+
+    kk = min(k, d2.shape[1])
+    neg_top, top_i = jax.lax.top_k(-d2, kk)               # ascending
+    top_d2 = -neg_top
+    found = jnp.isfinite(top_d2)
+    n_found = jnp.sum(found, axis=1)
+
+    rows = jnp.arange(B)[:, None]
+    csel = cand[rows, top_i]                              # (B, kk, 16)
+    w = jnp.sum(csel[:, :, 3:6] * direction.astype(jnp.float32)[:, None, :],
+                -1)
+    contrib = jnp.where(found[:, :, None], csel[:, :, 6:9] * w[:, :, None],
+                        0.0)
+    total = jnp.sum(contrib, axis=1)
+
+    kth = jnp.clip(n_found - 1, 0, kk - 1)
+    max_d2 = top_d2[jnp.arange(B), kth]
+    has = n_found > 0
+    denom = jnp.where(has, jnp.float32(np.pi)
+                      * jnp.maximum(max_d2, 1e-20), 1.0)
+    est = jnp.where(has[:, None], total / denom[:, None], 0.0)
+    return est.astype(dt), overflow
+
+
+def sample_photons_chunkrow(pm, point, direction, k):
+    """Differentiable chunk-row kNN estimate over all R queries (scan over
+    CR_BLK-lane blocks bounds the fetch); rare chunk-budget overflows
+    (windows spanning > CCAP chunks — very dense or fragmented maps) fall
+    back per-lane to photon.sample_photons."""
+    from .photon import sample_photons
+
+    R = point.shape[0]
+    dt = point.dtype
+    tbl = _pack_chunk_table(pm)
+    B = min(CR_BLK, max(R, 1))
+    pad = (-R) % B
+    n_blk = (R + pad) // B
+    pts = jnp.pad(point, ((0, pad), (0, 0)), mode="edge")
+    dirs = jnp.pad(direction, ((0, pad), (0, 0)), mode="edge")
+
+    def step(_, xs):
+        p_b, d_b = xs
+        return None, _chunkrow_block(pm, tbl, p_b, d_b, k)
+
+    _, (est, overflow) = jax.lax.scan(
+        step, None, (pts.reshape(n_blk, B, 3), dirs.reshape(n_blk, B, 3)))
+    est = est.reshape(n_blk * B, 3)[:R]
+    overflow = overflow.reshape(n_blk * B)[:R]
+
+    def slow():
+        far = (pm.grid_min - 1e6 * jnp.maximum(
+            1.0 / jnp.maximum(pm.inv_cell, 1e-20), 1.0)).astype(dt)
+        p_slow = jnp.where(overflow[:, None], point, far[None, :])
+        return sample_photons(pm, p_slow, direction, k)
+
+    est_slow = jax.lax.cond(
+        jnp.any(overflow), slow, lambda: jnp.zeros((R, 3), dt))
+    return jnp.where(overflow[:, None], est_slow, est)
 
 
 def _fwd_perpoint(pm, point, direction, k, interpret):
@@ -227,7 +375,10 @@ def _fwd_perpoint(pm, point, direction, k, interpret):
         tier = jnp.where(n_cand <= TIER_CAPS[t], t, tier)
     tier = jnp.where(n_cand == 0, n_tiers + 1, tier)
     order = jnp.argsort(tier, stable=True).astype(jnp.int32)
-    pos_of = jnp.argsort(order).astype(jnp.int32)
+    # inverse permutation by scatter (an argsort-of-argsort is a second
+    # full sort; the scatter is one linear pass)
+    pos_of = jnp.zeros_like(order).at[order].set(
+        jnp.arange(order.shape[0], dtype=jnp.int32), unique_indices=True)
     # tier boundaries in sorted space
     bounds = jnp.searchsorted(tier[order],
                               jnp.arange(n_tiers + 2, dtype=jnp.int32),
@@ -353,7 +504,9 @@ TQ_T = 64        # queries per tile (pass 1)
 TQ_T2 = 16       # queries per tile (pass 2 re-tiling of pass-1 failures)
 XYB_T = 16       # max box columns per axis
 R_MAX = 64       # merged chunk-ranges per tile
-KCHUNK = 128     # 32-photon chunks per tile -> 4096 candidate slots
+KCHUNK = 128     # 32-photon chunks per tile -> 4096 candidate slots (cap)
+KCHUNK_S = 32    # small-class chunk budget -> 1024 candidate slots
+CHUNK_BLK = 32   # chunks per dynamic compute block in the large kernel
 TILE_SB = 512    # tiles per gather/kernel super-block
 RES_FRAC = 4     # pass-2 capacity = ceil(Rp / RES_FRAC) lanes
 
@@ -370,104 +523,195 @@ def _morton3(x, y, z):
     return (spread(x) | (spread(y) << 1) | (spread(z) << 2)).astype(jnp.int32)
 
 
-def _tile_kernel(meta_ref, scal_ref, q_ref, cand_ref, out_ref, *,
-                 k: int, dims, tq: int):
-    """Grid: (n_tiles,).  Queries on LANES, candidates on SUBLANES.
-    meta_ref (8, 8) i32 SMEM row (tile%8): [flag]
+def _q_cells(q_ref, scal_ref, dims, tq):
+    """Query cell coords (f32, ints exact) from the SMEM grid params —
+    int32 truncation toward zero to match build_photon_map / _fwd_impl."""
+    nx, ny, nz = dims
+
+    def cell(p, g, iv, n):
+        v = (p - g) * iv
+        return jnp.clip(jnp.where(v >= 0.0, jnp.floor(v), -jnp.floor(-v)),
+                        0.0, jnp.float32(n - 1))
+
+    return (cell(q_ref[0:1, :], scal_ref[0, 0], scal_ref[0, 3], nx),
+            cell(q_ref[1:2, :], scal_ref[0, 1], scal_ref[0, 4], ny),
+            cell(q_ref[2:3, :], scal_ref[0, 2], scal_ref[0, 5], nz))
+
+
+def _blk_d2(cand_ref, q_ref, qc, sl):
+    """(CB, tq) masked squared distances for candidate rows ``sl``.
+
+    Membership uses the photon cell coords STORED in the chunk table
+    (cols 9-11, assigned at build time in the map dtype) — identical to
+    the runs that fetched them, so a boundary photon can't be dropped by
+    a recomputed-floor mismatch (r4 advisor finding).  NaN cells
+    (invalid/sentinel photons) fail every compare."""
+    qcx, qcy, qcz = qc
+    ok = ((jnp.abs(cand_ref[sl, 9:10] - qcx) <= 1.0)
+          & (jnp.abs(cand_ref[sl, 10:11] - qcy) <= 1.0)
+          & (jnp.abs(cand_ref[sl, 11:12] - qcz) <= 1.0))
+    d2 = ((cand_ref[sl, 0:1] - q_ref[0:1, :]) ** 2
+          + (cand_ref[sl, 1:2] - q_ref[1:2, :]) ** 2
+          + (cand_ref[sl, 2:3] - q_ref[2:3, :]) ** 2)
+    return jnp.where(ok, d2, jnp.float32(_BIG)), ok
+
+
+def _estimate_rows(out_ref, n_found, rk2, sum_r, sum_g, sum_b, tq):
+    inv_pi_r2 = pl.reciprocal(
+        jnp.float32(np.pi) * jnp.maximum(rk2, 1e-20), approx=False)
+    scale = jnp.where(n_found > 0, inv_pi_r2, 0.0)
+    out_ref[0:1, :] = sum_r * scale
+    out_ref[1:2, :] = sum_g * scale
+    out_ref[2:3, :] = sum_b * scale
+    out_ref[3:8, :] = jnp.zeros((5, tq), jnp.float32)
+
+
+def _bisect_kth(count_fn, d2_max, k, tq):
+    """EXACT k-th smallest masked distance: 32-step bisection on the f32
+    bit pattern (monotone for non-negative floats) — one ulp bracket, no
+    distance-tie ambiguity.  ``count_fn(mid_f) -> (1, tq)`` counts
+    d2 <= mid_f."""
+    kf = jnp.float32(k)
+
+    def body(i, bounds):
+        lo, hi = bounds
+        mid = (lo + hi) >> 1
+        mid_f = jax.lax.bitcast_convert_type(mid, jnp.float32)
+        ge = count_fn(mid_f) >= kf
+        return (jnp.where(ge, lo, mid), jnp.where(ge, mid, hi))
+
+    lo0 = jnp.full((1, tq), -1, jnp.int32)
+    hi0 = jax.lax.bitcast_convert_type(jnp.maximum(d2_max, 0.0), jnp.int32)
+    _, hi = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
+    return jax.lax.bitcast_convert_type(hi, jnp.float32)
+
+
+def _tile_kernel_small(meta_ref, scal_ref, q_ref, cand_ref, out_ref, *,
+                       k: int, dims, tq: int, NC: int):
+    """Small-class tile kernel (n_chunks <= KCHUNK_S): static full-plane
+    compute over NC = KCHUNK_S*32 candidate slots.
+    meta_ref (8, 8) i32 SMEM row (tile%8): [flag, n_blocks]
     scal_ref (1, 8) f32 SMEM: grid_min xyz, inv_cell xyz
-    q_ref    (8, TQ_T) f32 rows: qx qy qz qdx qdy qdz
-    cand_ref (KCHUNK*32, 16) f32 rows: px py pz dx dy dz cr cg cb
-             (NaN positions mark invalid/sentinel photons)
-    out_ref  (8, TQ_T) f32 rows: estimate rgb + pad (8-row block to
-             satisfy Mosaic's sublane divisibility)
+    q_ref    (8, tq) f32 rows: qx qy qz qdx qdy qdz
+    cand_ref (NC, 16) f32 rows: px py pz dx dy dz cr cg cb cellx celly cellz
+    out_ref  (8, tq) f32 rows: estimate rgb + pad
     """
     row = pl.program_id(0) % 8
     flag = meta_ref[row, 0]
-    TQ_T = tq
 
     @pl.when(flag == 0)
     def _():
-        out_ref[:, :] = jnp.zeros((8, TQ_T), jnp.float32)
+        out_ref[:, :] = jnp.zeros((8, tq), jnp.float32)
 
     @pl.when(flag > 0)
     def _():
-        gx = scal_ref[0, 0]
-        gy = scal_ref[0, 1]
-        gz = scal_ref[0, 2]
-        ivx = scal_ref[0, 3]
-        ivy = scal_ref[0, 4]
-        ivz = scal_ref[0, 5]
-        nx, ny, nz = dims
-
-        qx = q_ref[0:1, :]
-        qy = q_ref[1:2, :]
-        qz = q_ref[2:3, :]
-        px = cand_ref[:, 0:1]
-        py = cand_ref[:, 1:2]
-        pz = cand_ref[:, 2:3]
-
-        def cell(p, g, iv, n):
-            # float cell coords (ints represented exactly; NaN propagates
-            # so sentinel photons fail every membership compare)
-            return jnp.clip(jnp.floor((p - g) * iv), 0.0, jnp.float32(n - 1))
-
-        qcx = cell(qx, gx, ivx, nx)
-        qcy = cell(qy, gy, ivy, ny)
-        qcz = cell(qz, gz, ivz, nz)
-        pcx = cell(px, gx, ivx, nx)
-        pcy = cell(py, gy, ivy, ny)
-        pcz = cell(pz, gz, ivz, nz)
-
-        ok = ((jnp.abs(pcx - qcx) <= 1.0) & (jnp.abs(pcy - qcy) <= 1.0)
-              & (jnp.abs(pcz - qcz) <= 1.0))            # (NC, TQ_T)
+        qc = _q_cells(q_ref, scal_ref, dims, tq)
+        sl = pl.ds(0, NC)
+        d2, ok = _blk_d2(cand_ref, q_ref, qc, sl)
         big = jnp.float32(_BIG)
-        d2 = (px - qx) ** 2 + (py - qy) ** 2 + (pz - qz) ** 2
-        d2 = jnp.where(ok, d2, big)
-
-        okf = ok.astype(jnp.float32)
-        n_found = jnp.sum(okf, axis=0, keepdims=True)   # (1, TQ_T)
+        n_found = jnp.sum(ok.astype(jnp.float32), axis=0, keepdims=True)
         d2_max = jnp.max(jnp.where(ok, d2, -big), axis=0, keepdims=True)
-        kf = jnp.float32(k)
-        need = n_found > kf
 
-        # exact k-th squared distance: bisect the f32 bit pattern
-        def body(i, bounds):
-            lo, hi = bounds
-            mid = (lo + hi) >> 1
-            mid_f = jax.lax.bitcast_convert_type(mid, jnp.float32)
-            cnt = jnp.sum((d2 <= mid_f).astype(jnp.float32), axis=0,
-                          keepdims=True)
-            ge = cnt >= kf
-            return (jnp.where(ge, lo, mid), jnp.where(ge, mid, hi))
+        kth = _bisect_kth(
+            lambda mid_f: jnp.sum((d2 <= mid_f).astype(jnp.float32),
+                                  axis=0, keepdims=True),
+            d2_max, k, tq)
+        rk2 = jnp.where(n_found > jnp.float32(k), kth, d2_max)
+        sel = d2 <= rk2          # not-ok lanes carry BIG -> never selected
 
-        lo0 = jnp.full((1, TQ_T), -1, jnp.int32)
-        hi0 = jax.lax.bitcast_convert_type(jnp.maximum(d2_max, 0.0),
-                                           jnp.int32)
-        _, hi = jax.lax.fori_loop(0, 32, body, (lo0, hi0))
-        kth = jax.lax.bitcast_convert_type(hi, jnp.float32)
-        rk2 = jnp.where(need, kth, d2_max)
-        sel = ok & (d2 <= rk2)
-
-        w = (cand_ref[:, 3:4] * q_ref[3:4, :] + cand_ref[:, 4:5] * q_ref[4:5, :]
-             + cand_ref[:, 5:6] * q_ref[5:6, :])
+        w = (cand_ref[sl, 3:4] * q_ref[3:4, :]
+             + cand_ref[sl, 4:5] * q_ref[4:5, :]
+             + cand_ref[sl, 5:6] * q_ref[5:6, :])
         w = jnp.where(sel, w, 0.0)
-        inv_pi_r2 = pl.reciprocal(
-            jnp.float32(np.pi) * jnp.maximum(rk2, 1e-20), approx=False)
-        scale = jnp.where(n_found > 0, inv_pi_r2, 0.0)
-        out_ref[0:1, :] = jnp.sum(cand_ref[:, 6:7] * w, axis=0,
-                                  keepdims=True) * scale
-        out_ref[1:2, :] = jnp.sum(cand_ref[:, 7:8] * w, axis=0,
-                                  keepdims=True) * scale
-        out_ref[2:3, :] = jnp.sum(cand_ref[:, 8:9] * w, axis=0,
-                                  keepdims=True) * scale
-        out_ref[3:8, :] = jnp.zeros((5, TQ_T), jnp.float32)
+        _estimate_rows(out_ref, n_found, rk2,
+                       jnp.sum(cand_ref[sl, 6:7] * w, axis=0, keepdims=True),
+                       jnp.sum(cand_ref[sl, 7:8] * w, axis=0, keepdims=True),
+                       jnp.sum(cand_ref[sl, 8:9] * w, axis=0, keepdims=True),
+                       tq)
 
 
-def _tile_blocks(meta, scal, q, cand, k, dims, tq, interpret):
-    """meta (T_pad8, 8) i32; q (T*8, tq); cand (T*KCHUNK*32, 16)."""
+def _tile_kernel_large(meta_ref, scal_ref, q_ref, cand_ref, out_ref,
+                       d2_scr, *, k: int, dims, tq: int, NC: int):
+    """Large-class tile kernel: candidates processed in DYNAMIC-extent
+    blocks of CHUNK_BLK*32 slots — a tile only pays for the blocks its
+    n_chunks actually fills (meta col 1), not the full NC cap.  Masked
+    d2 is staged once into a VMEM scratch; the bisection and the weighted
+    sums then loop over the active blocks only.
+    """
+    row = pl.program_id(0) % 8
+    flag = meta_ref[row, 0]
+    nb = meta_ref[row, 1]
+    CB = CHUNK_BLK * 32
+
+    @pl.when(flag == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros((8, tq), jnp.float32)
+
+    @pl.when(flag > 0)
+    def _():
+        qc = _q_cells(q_ref, scal_ref, dims, tq)
+        big = jnp.float32(_BIG)
+
+        def blk_a(b, carry):
+            n_found, d2_max = carry
+            sl = pl.ds(b * CB, CB)
+            d2, ok = _blk_d2(cand_ref, q_ref, qc, sl)
+            d2_scr[sl, :] = d2
+            n_found = n_found + jnp.sum(ok.astype(jnp.float32), axis=0,
+                                        keepdims=True)
+            d2_max = jnp.maximum(d2_max, jnp.max(
+                jnp.where(ok, d2, -big), axis=0, keepdims=True))
+            return n_found, d2_max
+
+        n_found, d2_max = jax.lax.fori_loop(
+            0, nb, blk_a, (jnp.zeros((1, tq), jnp.float32),
+                           jnp.full((1, tq), -big, jnp.float32)))
+
+        def count(mid_f):
+            def blk_c(b, cnt):
+                sl = pl.ds(b * CB, CB)
+                return cnt + jnp.sum((d2_scr[sl, :] <= mid_f)
+                                     .astype(jnp.float32),
+                                     axis=0, keepdims=True)
+            return jax.lax.fori_loop(0, nb, blk_c,
+                                     jnp.zeros((1, tq), jnp.float32))
+
+        kth = _bisect_kth(count, d2_max, k, tq)
+        rk2 = jnp.where(n_found > jnp.float32(k), kth, d2_max)
+
+        def blk_b(b, sums):
+            sr, sg, sb_ = sums
+            sl = pl.ds(b * CB, CB)
+            sel = d2_scr[sl, :] <= rk2
+            w = (cand_ref[sl, 3:4] * q_ref[3:4, :]
+                 + cand_ref[sl, 4:5] * q_ref[4:5, :]
+                 + cand_ref[sl, 5:6] * q_ref[5:6, :])
+            w = jnp.where(sel, w, 0.0)
+            return (sr + jnp.sum(cand_ref[sl, 6:7] * w, axis=0,
+                                 keepdims=True),
+                    sg + jnp.sum(cand_ref[sl, 7:8] * w, axis=0,
+                                 keepdims=True),
+                    sb_ + jnp.sum(cand_ref[sl, 8:9] * w, axis=0,
+                                  keepdims=True))
+
+        z = jnp.zeros((1, tq), jnp.float32)
+        sr, sg, sb_ = jax.lax.fori_loop(0, nb, blk_b, (z, z, z))
+        _estimate_rows(out_ref, n_found, rk2, sr, sg, sb_, tq)
+
+
+def _tile_blocks(meta, scal, q, cand, k, dims, tq, n_chunk_cap, interpret):
+    """meta (T_pad8, 8) i32 [flag, n_blocks]; q (T*8, tq);
+    cand (T*n_chunk_cap*32, 16)."""
     n_tiles = q.shape[0] // 8
-    NC = KCHUNK * 32
-    kernel = functools.partial(_tile_kernel, k=k, dims=dims, tq=tq)
+    NC = n_chunk_cap * 32
+    if n_chunk_cap <= KCHUNK_S:
+        kernel = functools.partial(_tile_kernel_small, k=k, dims=dims,
+                                   tq=tq, NC=NC)
+        scratch = []
+    else:
+        kernel = functools.partial(_tile_kernel_large, k=k, dims=dims,
+                                   tq=tq, NC=NC)
+        scratch = [pltpu.VMEM((NC, tq), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -483,24 +727,38 @@ def _tile_blocks(meta, scal, q, cand, k, dims, tq, interpret):
         out_specs=pl.BlockSpec((8, tq), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, tq), jnp.float32),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(meta, scal, q, cand)
 
 
 def _pack_chunk_table(pm):
-    """(P32 + 1, 512) f32: photon rows [pos, dir, col, pad] grouped 32 to a
-    chunk row; invalid photons and padding carry NaN positions (they then
-    fail every cell-membership compare in-kernel).  The final row is the
-    all-NaN sentinel chunk that padded chunk ids point at."""
+    """(P32 + 1, 512) f32: photon rows [pos, dir, col, cell xyz, pad]
+    grouped 32 to a chunk row; invalid photons and padding carry NaN
+    positions AND NaN cell coords (they then fail every cell-membership
+    compare in-kernel).  The final row is the all-NaN sentinel chunk that
+    padded chunk ids point at.
+
+    Cell coords (cols 9-11) are computed here in the MAP dtype with the
+    exact truncation build_photon_map uses — the kernel compares against
+    these instead of recomputing floor() in f32, so a photon on a cell
+    boundary can never be fetched via the map's runs yet fail the
+    membership mask (r4 advisor finding)."""
     P = pm.pos.shape[0]
     nan = jnp.float32(jnp.nan)
+    nx, ny, nz = pm.dims
+    dims_i = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
+    g = (pm.pos - pm.grid_min[None, :]) * pm.inv_cell[None, :]
+    cells = jnp.clip(g.astype(jnp.int32), 0, dims_i).astype(jnp.float32)
+    cells = jnp.where(pm.valid[:, None], cells, nan)
     pos = jnp.where(pm.valid[:, None], pm.pos.astype(jnp.float32), nan)
     rows = jnp.concatenate([
         pos, pm.dir.astype(jnp.float32), pm.col.astype(jnp.float32),
-        jnp.zeros((P, 7), jnp.float32)], axis=1)          # (P, 16)
+        cells, jnp.zeros((P, 4), jnp.float32)], axis=1)   # (P, 16)
     pad = (-P) % 32
     rows = jnp.pad(rows, ((0, pad + 32), (0, 0)))
     rows = rows.at[P:, 0:3].set(nan)
+    rows = rows.at[P:, 9:12].set(nan)
     return rows.reshape(-1, 512)                           # (P32 + 1, 512)
 
 
@@ -586,37 +844,59 @@ def _tile_pass(pm, tbl, scal, q_s, cells_s, k, interpret, tq, n_live=None):
                     jnp.clip(startc + (j - before), 0, sentinel - 1),
                     sentinel)
 
-    # super-blocked gather + kernel (bounds the materialized chunk rows)
+    # ---- class partition: tiles pay for the work they actually have ----
+    # empty (n_chunks == 0): no gather, no kernel — estimate is exactly 0
+    # small (<= KCHUNK_S chunks): 1024-slot static kernel, 4x smaller gather
+    # large (<= KCHUNK): 4096-slot kernel with dynamic block extent
+    work = fast & (n_chunks > 0)
+    if n_live is not None:
+        # lanes past n_live are dead padding (pass-2 re-tiling): keep them
+        # out of every class so they cost nothing
+        work = work & ((jnp.arange(nT, dtype=jnp.int32) * tq) < n_live)
+    is_small = work & (n_chunks <= KCHUNK_S)
+    is_large = work & (n_chunks > KCHUNK_S)
+
     sb = min(TILE_SB, nT)
     n_sb = -(-nT // sb)
     q_t = q_s.reshape(nT, tq, 8).transpose(0, 2, 1)         # (nT, 8, tq)
-    est_rows = jnp.zeros((nT, 8, tq), jnp.float32)
+    nb_of = -(-n_chunks // CHUNK_BLK)                        # dynamic extent
+    est_rows = jnp.zeros((nT + 1, 8, tq), jnp.float32)       # +1 dummy row
 
-    def run_block(t0):
-        cid_b = jax.lax.dynamic_slice(cid, (t0, 0), (sb, KCHUNK))
-        cand = tbl[cid_b]                                   # (sb, KCHUNK, 512)
-        cand = cand.reshape(sb * KCHUNK * 32, 16)
-        qb = jax.lax.dynamic_slice(q_t, (t0, 0, 0), (sb, 8, tq))
-        fl = jax.lax.dynamic_slice(fast.astype(jnp.int32), (t0,), (sb,))
-        mpad = (-sb) % 8
-        meta = jnp.pad(fl[:, None], ((0, mpad), (0, 7)))
-        out = _tile_blocks(meta, scal, qb.reshape(sb * 8, tq), cand,
-                           k, (nx, ny, nz), tq, interpret)
-        return out.reshape(sb, 8, tq)
+    def class_pass(est_rows, mask, width):
+        n_c = jnp.sum(mask.astype(jnp.int32))
+        order_c = jnp.argsort(~mask, stable=True).astype(jnp.int32)
+        cid_c = cid[:, :width]
 
-    def step(carry, i):
-        est_rows = carry
-        t0 = jnp.minimum(i * sb, nT - sb)
-        if n_live is None:
-            out = run_block(t0)
-        else:
-            out = jax.lax.cond(
-                t0 * tq < n_live, lambda: run_block(t0),
-                lambda: jnp.zeros((sb, 8, tq), jnp.float32))
-        return jax.lax.dynamic_update_slice(est_rows, out, (t0, 0, 0)), None
+        def run_block(t0):
+            tid = jax.lax.dynamic_slice(order_c, (t0,), (sb,))
+            live = (t0 + jnp.arange(sb, dtype=jnp.int32)) < n_c
+            cand = tbl[cid_c[tid]].reshape(sb * width * 32, 16)
+            qb = q_t[tid]                                    # (sb, 8, tq)
+            fl = (live & mask[tid]).astype(jnp.int32)
+            mpad = (-sb) % 8
+            meta = jnp.pad(
+                jnp.stack([fl, nb_of[tid]], axis=1), ((0, mpad), (0, 6)))
+            out = _tile_blocks(meta, scal, qb.reshape(sb * 8, tq), cand,
+                               k, (nx, ny, nz), tq, width, interpret)
+            return out.reshape(sb, 8, tq), tid, live
 
-    est_rows, _ = jax.lax.scan(step, est_rows, jnp.arange(n_sb))
-    est = est_rows.transpose(0, 2, 1).reshape(Rp, 8)[:, :3]
+        def step(carry, i):
+            est_rows = carry
+            t0 = jnp.minimum(i * sb, nT - sb)
+
+            def computed():
+                out, tid, live = run_block(t0)
+                tid_safe = jnp.where(live, tid, nT)          # dummy slot
+                return est_rows.at[tid_safe].set(out)
+
+            return jax.lax.cond(t0 < n_c, computed, lambda: est_rows), None
+
+        est_rows, _ = jax.lax.scan(step, est_rows, jnp.arange(n_sb))
+        return est_rows
+
+    est_rows = class_pass(est_rows, is_small, KCHUNK_S)
+    est_rows = class_pass(est_rows, is_large, KCHUNK)
+    est = est_rows[:nT].transpose(0, 2, 1).reshape(Rp, 8)[:, :3]
     return est, jnp.repeat(fast, tq)
 
 
@@ -641,7 +921,8 @@ def _fwd_impl(pm, point, direction, k, interpret):
 
     order = jnp.argsort(_morton3(cells[:, 0], cells[:, 1], cells[:, 2]),
                         stable=True).astype(jnp.int32)
-    pos_of = jnp.argsort(order).astype(jnp.int32)
+    pos_of = jnp.zeros_like(order).at[order].set(
+        jnp.arange(R, dtype=jnp.int32), unique_indices=True)
 
     pad = (-R) % TQ_T
     Rp = R + pad
@@ -670,7 +951,8 @@ def _fwd_impl(pm, point, direction, k, interpret):
     c_t = jnp.cumsum(a) - a
     c_f = jnp.cumsum(1 - a) - (1 - a)
     dest = jnp.where(res, c_t, n_res + c_f)
-    inv_dest = jnp.argsort(dest).astype(jnp.int32)          # dest -> lane
+    inv_dest = jnp.zeros((Rp,), jnp.int32).at[dest].set(
+        jnp.arange(Rp, dtype=jnp.int32), unique_indices=True)  # dest -> lane
 
     RES_CAP = max((-(-Rp // RES_FRAC) + TQ_T2 - 1) // TQ_T2 * TQ_T2, TQ_T2)
     lane2 = inv_dest[:RES_CAP]

@@ -23,6 +23,8 @@ import os
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # multi-minute golden renders (see --runslow)
 from PIL import Image
 
 import jax

@@ -110,12 +110,14 @@ def test_grad_vertices():
     assert (np.abs(rep.analytic) > 0).any()
 
 
+@pytest.mark.slow
 def test_grad_camera(box):
     rep = gradcheck.check_camera(box)
     assert rep.ok, f"{rep.name}: rel {rep.rel_err}\n{rep.analytic}\n{rep.fd}"
     assert (np.abs(rep.analytic) > 0).any()
 
 
+@pytest.mark.slow
 def test_grad_light_color_through_photon_map():
     """Gradients survive trace_photons -> build/rebind -> sample_photons."""
     b = SceneBuilder()

@@ -70,6 +70,7 @@ def test_mega_matches_staged_wave(setup):
     assert int(ns_g) == int(ns_w), (int(ns_g), int(ns_w))
 
 
+@pytest.mark.slow
 def test_mega_matches_staged_wave_with_photon_map(setup):
     from gi_raytracer_tpu.render.photon import PhotonBatch, build_photon_map
     ls, cfg, ro, rd, sx_all, sy_all = setup
@@ -97,6 +98,7 @@ def test_mega_matches_staged_wave_with_photon_map(setup):
     assert np.abs(got - want).max() < 1e-4, np.abs(got - want).max()
 
 
+@pytest.mark.slow
 def test_renderer_mega_matches_staged_end_to_end(setup):
     """The full Renderer (fused adaptive loop) with integrator="mega"
     (interpret mode on CPU) matches the staged-pallas renderer."""
@@ -114,3 +116,29 @@ def test_renderer_mega_matches_staged_end_to_end(setup):
     err = np.abs(img_m - img_s).max(axis=-1)
     assert (err > 1e-4).mean() < 0.01, (err > 1e-4).mean()
     assert err.mean() < 1e-3, err.mean()
+
+
+def test_mega_matches_staged_wave_depth16(setup):
+    """Runtime-depth widening (r5): the default config's max_depth=16 must
+    take the megakernel and agree with the staged path."""
+    ls, cfg, ro, rd, sx_all, sy_all = setup
+    cfg16 = cfg.replace(max_depth=16)
+    assert mega_eligible(ls.scene, cfg16)
+    r = Renderer(ls.scene, Camera(pos=ls.camera_pos,
+                                  look_at=ls.camera_look_at),
+                 cfg16, W, H)
+    idx = jnp.asarray(r.enum.index_image(0).ravel()[np.asarray(r._perm)])
+    sx16, sy16 = r._bounce_samples(idx)
+    R = ro.shape[0]
+    lane = jnp.arange(R, dtype=jnp.uint32)
+    key = jax.random.PRNGKey(0)
+    want, (nc_w, ns_w) = radiance_wave(ls.scene, cfg16, ro, rd, sx16, sy16,
+                                       key, 0, None, with_counts=True)
+    got, (nc_g, ns_g) = radiance_wave_mega(ls.scene, cfg16, ro, rd,
+                                           sx16, sy16, lane,
+                                           wave_salt=0, interpret=True)
+    mismatch = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert np.isfinite(np.asarray(got)).all()
+    assert mismatch < 1e-4, f"max abs err {mismatch}"
+    assert int(nc_g) == int(nc_w), (int(nc_g), int(nc_w))
+    assert int(ns_g) == int(ns_w), (int(ns_g), int(ns_w))

@@ -10,6 +10,7 @@ needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
 
 
 @needs_8
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
@@ -39,6 +40,7 @@ def test_sharded_wave_matches_single_device():
 
 
 @needs_8
+@pytest.mark.slow
 def test_fused_render_sharded_matches_single_device():
     """The FULL adaptive multi-wave render (fused while_loop + photon map)
     sharded over 8 devices must equal the single-device render exactly:

@@ -37,6 +37,7 @@ def _queries(rng, R, spread=0.12):
 
 
 @pytest.mark.parametrize("R", [64, 300, 1024])
+@pytest.mark.slow
 def test_tiled_matches_reference_clustered(R):
     rng = np.random.default_rng(0)
     pm = _make_map(rng)
@@ -46,6 +47,7 @@ def test_tiled_matches_reference_clustered(R):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_tiled_matches_reference_mixed_occupancy():
     """Half the queries sit far outside the photon cluster (empty windows,
     exact zeros), half inside — exercises the sort + tile skip + fallback
@@ -65,6 +67,7 @@ def test_tiled_matches_reference_mixed_occupancy():
     assert np.all(got[500:] == 0.0) or np.allclose(got[500:], 0.0)
 
 
+@pytest.mark.slow
 def test_tiled_matches_reference_uniform_queries():
     """Uniform queries over the whole volume (the bench workload)."""
     rng = np.random.default_rng(2)
@@ -78,6 +81,7 @@ def test_tiled_matches_reference_uniform_queries():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_tiled_dense_focal_cells_fall_back():
     """A pathologically dense map (all photons in a few cells): queries
     whose window exceeds the largest tier cap fall back to the per-point
@@ -159,6 +163,7 @@ def test_tiled_dense_focal_cells_fall_back():
                                    err_msg=f"query {i}")
 
 
+@pytest.mark.slow
 def test_tiled_grad_matches_reference():
     """custom VJP: gradients wrt photon colors and query points equal the
     reference path's."""
