@@ -53,6 +53,13 @@ class RenderConfig:
     # --- atmosphere (util.h:29) ---
     raymarch_stepsize: float = 0.04  # RAYMARCH_STEPSIZE
     raymarch_max_steps: int = 512    # static bound for lax.scan
+    fog_lane_chunk: int = 32768      # fog waves dispatch in lane chunks of
+                                     # this size: a full-frame fog wave
+                                     # (262k lanes x 512-step raymarch x D
+                                     # bounces) is one of the long single
+                                     # XLA programs the tunneled TPU kills;
+                                     # chunking bounds each device program
+                                     # (0 = whole-frame waves)
 
     # --- camera & output (util.h:30-31, camera.h:4,29-30) ---
     focal_blur: float = 0.0          # FOCAL_BLUR

@@ -76,12 +76,20 @@ def _fog_bounds(scene: Scene, ro, rd, t_cap):
     return tmin, tmax, (tf >= tn) & (tmax > tmin)
 
 
-def _march(scene: Scene, cfg: RenderConfig, ro, rd, tmin, tmax, has, salt):
+def _march(scene: Scene, cfg: RenderConfig, ro, rd, tmin, tmax, has, salt,
+           ray_id=None):
     """First stochastic scattering event along [tmin, tmax] (raytracer.h:509-529).
-    Returns (scattered (R,), t_hit (R,))."""
+    Returns (scattered (R,), t_hit (R,)).
+
+    ``ray_id``: GLOBAL lane ids — scatter decisions must be keyed on them
+    (not the batch slot) so fog-wave lane chunking reproduces identical
+    events, and so successive waves draw INDEPENDENT uniforms (batch-slot
+    keying silently reused the same stream every wave, a correlation bug
+    fixed in r5)."""
     R = ro.shape[0]
     step = cfg.raymarch_stepsize
-    rid = jnp.arange(R, dtype=jnp.uint32)
+    rid = (ray_id.astype(jnp.uint32) if ray_id is not None
+           else jnp.arange(R, dtype=jnp.uint32))
     n_steps = cfg.raymarch_max_steps
 
     def body(i, carry):
@@ -99,17 +107,19 @@ def _march(scene: Scene, cfg: RenderConfig, ro, rd, tmin, tmax, has, salt):
     return found, t_hit
 
 
-def fog_occludes(scene: Scene, cfg: RenderConfig, ro, rd, t_lim, salt):
+def fog_occludes(scene: Scene, cfg: RenderConfig, ro, rd, t_lim, salt,
+                 ray_id=None):
     """Shadow-ray fog occlusion (visible(), raytracer.h:308-316)."""
     tmin, tmax, has = _fog_bounds(scene, ro, rd, t_lim)
-    found, _ = _march(scene, cfg, ro, rd, tmin, tmax, has, salt)
+    found, _ = _march(scene, cfg, ro, rd, tmin, tmax, has, salt,
+                      ray_id=ray_id)
     return found
 
 
 def fog_override(scene: Scene, cfg: RenderConfig, ro, rd, t_hit_surface,
                  sx, sy, salt,
                  point, normal, out_dir, f, color, contrib, rough,
-                 offset_sign):
+                 offset_sign, ray_id=None):
     """In-scattering override of the surface hit (radiance(),
     raytracer.h:212-228): when the march scatters before the surface, the
     bounce continues from the fog event in a uniform random direction with
@@ -117,7 +127,8 @@ def fog_override(scene: Scene, cfg: RenderConfig, ro, rd, t_hit_surface,
     left untouched (reference quirk)."""
     t_cap = jnp.where(jnp.isfinite(t_hit_surface), t_hit_surface, 0.0)
     tmin, tmax, has = _fog_bounds(scene, ro, rd, t_cap)
-    scat, t_s = _march(scene, cfg, ro, rd, tmin, tmax, has, salt)
+    scat, t_s = _march(scene, cfg, ro, rd, tmin, tmax, has, salt,
+                       ray_id=ray_id)
 
     fog_col = jnp.broadcast_to(scene.fog.color[None, :], color.shape)
     m = scat[:, None]

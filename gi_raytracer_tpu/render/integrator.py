@@ -78,7 +78,8 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
                         compact=cfg.compact_wavefront, ray_id=ray_id)
         if scene.has_fog:
             occ = occ | fog_occludes(scene, cfg, so, normalize(ldir), t_lim,
-                                     salt + 104729 * (li + 1))
+                                     salt + 104729 * (li + 1),
+                                     ray_id=ray_id)
         to_l = lpos[None, :] - point
         d = jnp.maximum(jnp.sum(normal * normalize(to_l), -1), 0.0)
         # pow with a masked-safe base: d==0 lanes otherwise poison the
@@ -181,7 +182,8 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
             (point, normal, out_dir, f, color, contrib, rough,
              offset_sign) = fog_override(
                 scene, cfg, st.ro, st.rd, hit.t, sx, sy, salt,
-                point, normal, out_dir, f, color, contrib, rough, offset_sign)
+                point, normal, out_dir, f, color, contrib, rough,
+                offset_sign, ray_id=lane_u32)
 
         valid = st.alive & sh.valid
         i_direct = _direct_light(scene, cfg, point, normal, rough,
@@ -363,6 +365,55 @@ class Renderer:
         counts so the host-stepped loop can track state["rays"]."""
         return self._wave_radiance(scene, photon_map, idx_flat, wave_i,
                                    with_counts=True)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _wave_inputs(self, idx_flat, wave_i):
+        """Block-ordered per-lane wave inputs (rays + QMC samples) — the
+        cheap prefix of a wave, split out so fog waves can dispatch the
+        EXPENSIVE part (trace + raymarch) in bounded lane chunks."""
+        dt = jnp.float64 if self.cfg.dtype == "float64" else jnp.float32
+        idx_blk = idx_flat[jnp.asarray(self._perm, jnp.int32)]
+        xr = self.sampler.sample(0, idx_blk, self._index_bits).astype(dt)
+        yr = self.sampler.sample(1, idx_blk, self._index_bits).astype(dt)
+        ro, rd = primary_rays(self.camera, self.width, self.height,
+                              xr * self.enum.scale_x,
+                              yr * self.enum.scale_y)
+        sx_all, sy_all = self._bounce_samples(idx_blk)
+        return ro, rd, sx_all, sy_all
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _wave_chunk(self, scene, photon_map, ro, rd, sx, sy, lane_ids,
+                    wave_i):
+        key = jax.random.fold_in(self._key, wave_i)
+        return dispatch_wave(scene, self.cfg, ro, rd, sx, sy, key, 0,
+                             photon_map, with_counts=True,
+                             lane_ids=lane_ids)
+
+    def _wave_counted_chunked(self, scene, photon_map, idx_flat, wave_i,
+                              chunk):
+        """One wave as ceil(R/chunk) SEQUENTIAL device dispatches — each a
+        short XLA program the tunneled device's watchdog tolerates (fog
+        raymarch waves at 512px are otherwise killed, ROUND4.md §3).
+        Lane ids are global, so results are bitwise-identical to the
+        single-dispatch wave."""
+        N = self.width * self.height
+        ro, rd, sx_all, sy_all = self._wave_inputs(idx_flat, wave_i)
+        base = int(wave_i) * N
+        outs, n_c, n_s = [], 0, 0
+        for s in range(0, N, chunk):
+            e = min(s + chunk, N)
+            lane_ids = (jnp.uint32(base)
+                        + jnp.arange(s, e, dtype=jnp.uint32))
+            c, (nc, ns) = self._wave_chunk(
+                scene, photon_map, ro[s:e], rd[s:e],
+                sx_all[:, s:e], sy_all[:, s:e], lane_ids,
+                jnp.uint32(wave_i))
+            outs.append(c)
+            n_c += int(nc)
+            n_s += int(ns)
+        out = jnp.concatenate(outs, axis=0)
+        inv = jnp.asarray(self._inv_perm)
+        return out[inv], (jnp.int32(n_c), jnp.int32(n_s))
 
     def state0(self):
         """Fresh accumulation state (the reference's per-pixel running
@@ -563,15 +614,27 @@ class Renderer:
         if "rays" not in st:   # resume from an old checkpoint
             st = dict(st, rays=jnp.zeros((), jnp.float32))
 
-        if on_wave is None and not verbose:
+        # fog frames never take the fused whole-render program: the 512-
+        # step raymarch times D bounces times all lanes builds exactly the
+        # kind of long single XLA program the tunneled device kills —
+        # host-step the waves and dispatch each in bounded lane chunks
+        fog_chunked = (self.scene.has_fog and cfg.fog_lane_chunk > 0
+                       and H * W > cfg.fog_lane_chunk)
+
+        if on_wave is None and not verbose and not fog_chunked:
             st = self._render_fused(self.scene, self.photon_map, st)
             return (st["mean"], st) if return_state else st["mean"]
 
         first = int(st["wave"])
         for s in range(first, cfg.max_samples):
             idx = self.enum.index_image(s).ravel()
-            c, (n_c, n_s) = self._wave_counted(self.scene, self.photon_map,
-                                               idx, jnp.uint32(s))
+            if fog_chunked:
+                c, (n_c, n_s) = self._wave_counted_chunked(
+                    self.scene, self.photon_map, idx, s,
+                    cfg.fog_lane_chunk)
+            else:
+                c, (n_c, n_s) = self._wave_counted(
+                    self.scene, self.photon_map, idx, jnp.uint32(s))
             c = c.reshape(H, W, 3)
             st = self._accumulate(st, c, jnp.asarray(s))
             st["rays"] = st["rays"] + (n_c + n_s).astype(jnp.float32)

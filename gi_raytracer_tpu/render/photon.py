@@ -299,8 +299,9 @@ def trace_photons(scene: Scene, cfg: RenderConfig,
 
 def build_photon_map(batch: PhotonBatch, world_min, world_max,
                      target_per_cell: float = 4.0,
-                     max_dim: int = 192, window_cap: int | None = None,
-                     window_cap_max: int = 96) -> PhotonMap:
+                     max_dim: int = 1024, window_cap: int | None = None,
+                     window_cap_max: int = 96,
+                     max_cells: int = 33_554_432) -> PhotonMap:
     # NOTE on sizing: cells must stay COARSE enough that the 3x3x3 gather
     # window covers the k-NN radius (window reach = 1.5 cells); occupancy
     # ~4-8/cell with cap up to 96 is the validated operating point —
@@ -308,7 +309,16 @@ def build_photon_map(batch: PhotonBatch, world_min, world_max,
     # true neighbors (measured: oracle mismatch at target_per_cell=2)
     """Sort photons into a uniform grid (replaces photonMap.cpp:137-192).
 
-    world_min/world_max: host-side floats (grid geometry must be static).
+    world_min/world_max: host-side floats (grid geometry must be static);
+    the grid itself is fitted to the STORED-photon bounding box (slightly
+    padded) like the reference's photon octree root, and its per-axis
+    resolution follows the photon extent — a planar caustic sheet (the
+    common case: photons are stored on 2-D surfaces, raytracer.h:685-692)
+    gets a thin axis with few cells and fine in-plane cells, instead of
+    wasting the max_dim budget cubically.  Refinement doubles resolution
+    until the densest cell fits the gather window or ``max_cells`` is
+    reached — the uniform-grid analogue of the reference octree's
+    subdivide-to-<=16/leaf rule (photonMap.cpp:137-192, util.h:15).
 
     ``window_cap`` (candidates gathered per window cell) defaults to the
     MEASURED maximum cell occupancy, clamped to ``window_cap_max`` — so on
@@ -317,19 +327,36 @@ def build_photon_map(batch: PhotonBatch, world_min, world_max,
     focal cells (occupancy > window_cap_max) are clipped, where r_k is tiny
     and the clipped tail is far outside the k-nearest set.
     """
-    wmin = np.asarray(world_min, np.float64)
-    wmax = np.asarray(world_max, np.float64)
-    extent = np.maximum(wmax - wmin, 1e-6)
     P = batch.pos.shape[0]
     n_stored = max(int(jnp.sum(batch.stored)), 1)
-    # ~target_per_cell photons per occupied cell, assuming they cluster in
-    # a small part of the volume; cube-root heuristic over stored count
-    n_cells_target = max(n_stored / target_per_cell, 1.0)
-    per_axis = int(np.clip(np.ceil(n_cells_target ** (1 / 3)), 1, max_dim))
     dt = batch.pos.dtype
 
-    def cell_ids(per_axis):
-        dims = (per_axis, per_axis, per_axis)
+    # photon bbox (host): queries outside clip into the boundary cells,
+    # exactly the reference's getBounds clamp (photonMap.cpp:115-134)
+    stored_np = np.asarray(batch.stored)
+    pos_np = np.asarray(batch.pos, np.float64)
+    if stored_np.any():
+        pmin = pos_np[stored_np].min(0)
+        pmax = pos_np[stored_np].max(0)
+    else:
+        pmin = np.asarray(world_min, np.float64)
+        pmax = np.asarray(world_max, np.float64)
+    span = np.maximum(pmax - pmin, 0.0)
+    pad_w = np.maximum(span.max() * 1e-3, 1e-6)
+    wmin = pmin - pad_w
+    extent = np.maximum(span + 2 * pad_w, 1e-6)
+
+    # common cell size h; per-axis counts follow the extent (thin axes get
+    # few cells).  Initial h from the occupied-volume heuristic.
+    n_cells_target = max(n_stored / target_per_cell, 1.0)
+    h = float((np.prod(extent) / n_cells_target) ** (1 / 3))
+
+    def dims_of(h):
+        d = np.clip(np.ceil(extent / h).astype(np.int64), 1, max_dim)
+        return tuple(int(x) for x in d)
+
+    def cell_ids(h):
+        dims = dims_of(h)
         inv_cell = np.asarray(dims) / extent
         gi = ((batch.pos - jnp.asarray(wmin, dt)) * jnp.asarray(inv_cell, dt))
         gi = jnp.clip(gi.astype(jnp.int32), 0,
@@ -343,17 +370,29 @@ def build_photon_map(batch: PhotonBatch, world_min, world_max,
     # holding hundreds of photons — the exact bias the reference's adaptive
     # photon octree avoids by splitting to <=16/leaf, photonMap.cpp:137-192)
     if window_cap is None:
+        prev = None
         while True:
-            cid, dims, inv_cell, C = cell_ids(per_axis)
+            cid, dims, inv_cell, C = cell_ids(h)
             occ_max = int(jnp.max(jnp.bincount(
                 jnp.where(cid < C, cid, 0),
                 weights=(cid < C).astype(jnp.int32), length=C)))
-            if occ_max <= window_cap_max or per_axis >= max_dim:
+            if occ_max <= window_cap_max:
                 break
-            per_axis = min(per_axis * 2, max_dim)
+            if prev is not None and occ_max >= prev[1]:
+                # refinement stopped helping (photons coincident at this
+                # scale) — undo the useless doubling and accept truncation
+                h = prev[0]
+                cid, dims, inv_cell, C = cell_ids(h)
+                break
+            nxt = dims_of(h / 2)
+            if (np.prod(np.asarray(nxt, np.int64)) > max_cells
+                    or nxt == dims):
+                break
+            prev = (h, occ_max)
+            h = h / 2
         window_cap = int(np.clip(occ_max, 1, window_cap_max))
     else:
-        cid, dims, inv_cell, C = cell_ids(per_axis)
+        cid, dims, inv_cell, C = cell_ids(h)
     cell_id = cid
 
     order = jnp.argsort(cell_id)

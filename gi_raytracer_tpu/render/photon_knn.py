@@ -56,6 +56,14 @@ TIER_BLOCK_LANES = (8192, 4096, 2048)
 
 _BIG = 3.0e38
 
+# dev-only stage ablation for on-device profiling (results become WRONG):
+#   KNN_ABLATE=nokernel  -> skip the class gather+kernel passes
+#   KNN_ABLATE=pass1     -> skip pass 2 + the per-point residual
+#   KNN_ABLATE=nores     -> skip only the per-point residual
+import os as _os
+_ABLATE = frozenset(
+    x for x in _os.environ.get("KNN_ABLATE", "").split(",") if x)
+
 
 def _knn_kernel(meta_ref, q_ref, px_ref, py_ref, pz_ref, dx_ref, dy_ref,
                 dz_ref, cr_ref, cg_ref, cb_ref, out_ref, *, k: int, C: int,
@@ -198,18 +206,17 @@ def _make_tiled_fn(k: int, interpret: bool):
 # photon_knn.py VJP — VERDICT r4 #5).
 # ---------------------------------------------------------------------------
 
-CCAP = 16          # chunk budget per query (512 candidate slots)
+CCAP = 16          # default chunk budget per query (512 candidate slots)
 CR_BLK = 8192      # lanes per scan block (bounds the (B, 512, 16) fetch)
 
 
-def _chunkrow_block(pm, tbl, point, direction, k):
-    """(B,) queries -> (est (B, 3), overflow (B,)).  Differentiable."""
+def _window_runs(pm, point):
+    """Stage 1 of the chunk-row path: per-query window runs -> 32-aligned
+    disjoint chunk ranges.  Returns (cells (B,3) i32, lo_c (B,9), ae (B,9),
+    prefix (B,9), n_chunks (B,)) — cheap (18 cell_start gathers/lane)."""
     B = point.shape[0]
-    dt = point.dtype
     nx, ny, nz = pm.dims
-    C_cells = nx * ny * nz
     dims_i = jnp.asarray([nx - 1, ny - 1, nz - 1], jnp.int32)
-
     p32 = point.astype(jnp.float32)
     g = (p32 - pm.grid_min[None, :].astype(jnp.float32)) \
         * pm.inv_cell[None, :].astype(jnp.float32)
@@ -245,82 +252,125 @@ def _chunkrow_block(pm, tbl, point, direction, k):
     lo_c = jnp.maximum(as_, cmax_exc)
     rlen = jnp.where(run_ok, jnp.maximum(ae_ - lo_c, 0), 0)
     prefix = jnp.cumsum(rlen, axis=1)                     # (B, 9)
-    n_chunks = prefix[:, -1]
-    overflow = n_chunks > CCAP
+    return cells, lo_c, prefix, prefix[:, -1]
 
-    # expand the 9 ranges into the (B, CCAP) chunk-id list
-    jj = jnp.arange(CCAP, dtype=jnp.int32)[None, :]
-    run_of = jnp.zeros((B, CCAP), jnp.int32)
+
+def _expand_cids(lo_c, prefix, n_chunks, ccap, sentinel):
+    """Stage 2: the (B, ccap) chunk-id list from the 9 merged ranges."""
+    B = lo_c.shape[0]
+    jj = jnp.arange(ccap, dtype=jnp.int32)[None, :]
+    run_of = jnp.zeros((B, ccap), jnp.int32)
     for r in range(9):
         run_of = run_of + (jj >= prefix[:, r:r + 1]).astype(jnp.int32)
     run_of = jnp.minimum(run_of, 8)
-    before = jnp.zeros((B, CCAP), jnp.int32)
-    startc = jnp.zeros((B, CCAP), jnp.int32)
+    before = jnp.zeros((B, ccap), jnp.int32)
+    startc = jnp.zeros((B, ccap), jnp.int32)
     for r in range(9):
         is_r = run_of == r
         if r > 0:
             before = jnp.where(is_r, prefix[:, r - 1:r], before)
         startc = jnp.where(is_r, lo_c[:, r:r + 1], startc)
-    sentinel = tbl.shape[0] - 1
-    cid = jnp.where(jj < jnp.minimum(n_chunks, CCAP)[:, None],
-                    jnp.clip(startc + (jj - before), 0, sentinel - 1),
-                    sentinel)
+    return jnp.where(jj < jnp.minimum(n_chunks, ccap)[:, None],
+                     jnp.clip(startc + (jj - before), 0, sentinel - 1),
+                     sentinel)
 
-    cand = tbl[cid].reshape(B, CCAP * 32, 16)             # the row fetch
+
+def _est_from_chunks(tbl, cid, cells, point, direction, k):
+    """Stage 3: fetch candidate chunk ROWS and evaluate the estimator.
+    Selection = every candidate within the exact k-th radius (distance
+    ties included) — the same inclusion rule the tile kernels implement.
+    Differentiable (gathers + top_k + arithmetic)."""
+    B, ccap = cid.shape
+    p32 = point.astype(jnp.float32)
+    cand = tbl[cid].reshape(B, ccap * 32, 16)             # the row fetch
     qc = cells.astype(jnp.float32)
     ok = ((jnp.abs(cand[:, :, 9] - qc[:, 0:1]) <= 1.0)
           & (jnp.abs(cand[:, :, 10] - qc[:, 1:2]) <= 1.0)
           & (jnp.abs(cand[:, :, 11] - qc[:, 2:3]) <= 1.0))
-    d2 = jnp.sum((cand[:, :, 0:3] - p32[:, None, :]) ** 2, -1)
+    # NaN-sentinel positions already fail the membership mask; they must
+    # ALSO be scrubbed before the arithmetic, or the masked branch's NaN
+    # poisons the query-point gradient through where()'s 0 * NaN chain
+    psafe = jnp.where(jnp.isnan(cand[:, :, 0:3]), 0.0, cand[:, :, 0:3])
+    d2 = jnp.sum((psafe - p32[:, None, :]) ** 2, -1)
     d2 = jnp.where(ok, d2, jnp.inf)
 
     kk = min(k, d2.shape[1])
-    neg_top, top_i = jax.lax.top_k(-d2, kk)               # ascending
+    neg_top, _ = jax.lax.top_k(-d2, kk)                   # ascending
     top_d2 = -neg_top
     found = jnp.isfinite(top_d2)
     n_found = jnp.sum(found, axis=1)
 
-    rows = jnp.arange(B)[:, None]
-    csel = cand[rows, top_i]                              # (B, kk, 16)
-    w = jnp.sum(csel[:, :, 3:6] * direction.astype(jnp.float32)[:, None, :],
-                -1)
-    contrib = jnp.where(found[:, :, None], csel[:, :, 6:9] * w[:, :, None],
+    kth = jnp.clip(n_found - 1, 0, kk - 1)
+    max_d2 = top_d2[jnp.arange(B), kth]
+    sel = d2 <= max_d2[:, None]
+    w = jnp.sum(cand[:, :, 3:6]
+                * direction.astype(jnp.float32)[:, None, :], -1)
+    contrib = jnp.where(sel[:, :, None], cand[:, :, 6:9] * w[:, :, None],
                         0.0)
     total = jnp.sum(contrib, axis=1)
 
-    kth = jnp.clip(n_found - 1, 0, kk - 1)
-    max_d2 = top_d2[jnp.arange(B), kth]
     has = n_found > 0
     denom = jnp.where(has, jnp.float32(np.pi)
                       * jnp.maximum(max_d2, 1e-20), 1.0)
-    est = jnp.where(has[:, None], total / denom[:, None], 0.0)
-    return est.astype(dt), overflow
+    return jnp.where(has[:, None], total / denom[:, None], 0.0)
 
 
-def sample_photons_chunkrow(pm, point, direction, k):
-    """Differentiable chunk-row kNN estimate over all R queries (scan over
-    CR_BLK-lane blocks bounds the fetch); rare chunk-budget overflows
-    (windows spanning > CCAP chunks — very dense or fragmented maps) fall
-    back per-lane to photon.sample_photons."""
+CCAP_SMALL = 16       # small-width bucket (512 candidate slots)
+CR_BLK_BIG = 2048     # lanes per block at the wide width
+
+
+def sample_photons_chunkrow(pm, point, direction, k, ccap=96):
+    """Differentiable chunk-row kNN estimate: per-query window candidates
+    fetched as whole 2 KB chunk rows (the access pattern this platform
+    runs ~100x cheaper per byte than per-element gathers), then top_k +
+    Jensen in ordinary XLA.  Lanes are WIDTH-BUCKETED by their chunk
+    count — most windows fit CCAP_SMALL chunks and pay a 6x smaller fetch
+    — and each bucket processes only as many fixed-size blocks as its
+    population fills.  Windows past ``ccap`` chunks (denser than the
+    occupancy-driven grid could resolve — bitwise-coincident foci) fall
+    back per-lane to photon.sample_photons (its per-cell-cap truncation +
+    subsample correction included)."""
     from .photon import sample_photons
 
     R = point.shape[0]
     dt = point.dtype
     tbl = _pack_chunk_table(pm)
-    B = min(CR_BLK, max(R, 1))
-    pad = (-R) % B
-    n_blk = (R + pad) // B
-    pts = jnp.pad(point, ((0, pad), (0, 0)), mode="edge")
-    dirs = jnp.pad(direction, ((0, pad), (0, 0)), mode="edge")
+    sentinel = tbl.shape[0] - 1
+    cells, lo_c, prefix, n_chunks = _window_runs(pm, point)
+    overflow = n_chunks > ccap
 
-    def step(_, xs):
-        p_b, d_b = xs
-        return None, _chunkrow_block(pm, tbl, p_b, d_b, k)
+    est = jnp.zeros((R + 1, 3), jnp.float32)
+    buckets = (
+        ((n_chunks > 0) & (n_chunks <= CCAP_SMALL), CCAP_SMALL, CR_BLK),
+        ((n_chunks > CCAP_SMALL) & ~overflow, ccap, CR_BLK_BIG),
+    )
+    for mask, W, blk in buckets:
+        blk = min(blk, max(R, 1))
+        a = mask.astype(jnp.int32)
+        n_c = jnp.sum(a)
+        c = jnp.cumsum(a) - a
+        slot = jnp.where(mask, c, R)
+        ids = jnp.full((R + 1,), 0, jnp.int32).at[
+            jnp.minimum(slot, R)].set(jnp.arange(R, dtype=jnp.int32))[:R]
+        n_blk = -(-R // blk)
 
-    _, (est, overflow) = jax.lax.scan(
-        step, None, (pts.reshape(n_blk, B, 3), dirs.reshape(n_blk, B, 3)))
-    est = est.reshape(n_blk * B, 3)[:R]
-    overflow = overflow.reshape(n_blk * B)[:R]
+        def step(est, i, ids=ids, n_c=n_c, W=W, blk=blk):
+            t0 = jnp.minimum(i * blk, R - blk)
+
+            def computed():
+                lanes = jax.lax.dynamic_slice(ids, (t0,), (blk,))
+                live = (t0 + jnp.arange(blk, dtype=jnp.int32)) < n_c
+                cid = _expand_cids(lo_c[lanes], prefix[lanes],
+                                   n_chunks[lanes], W, sentinel)
+                e = _est_from_chunks(tbl, cid, cells[lanes], point[lanes],
+                                     direction[lanes], k)
+                return est.at[jnp.where(live, lanes, R)].set(e)
+
+            return jax.lax.cond(t0 < n_c, computed, lambda: est), None
+
+        est, _ = jax.lax.scan(step, est, jnp.arange(n_blk))
+
+    est = est[:R].astype(dt)
 
     def slow():
         far = (pm.grid_min - 1e6 * jnp.maximum(
@@ -504,11 +554,20 @@ TQ_T = 64        # queries per tile (pass 1)
 TQ_T2 = 16       # queries per tile (pass 2 re-tiling of pass-1 failures)
 XYB_T = 16       # max box columns per axis
 R_MAX = 64       # merged chunk-ranges per tile
-KCHUNK = 128     # 32-photon chunks per tile -> 4096 candidate slots (cap)
+KCHUNK = 128     # pass-1 chunk cap (4096 candidate slots)
+KCHUNK2 = 256    # pass-2 chunk cap: dense caustic-focus tiles fail pass 1
+                 # and are re-tiled at TQ_T2=16 queries, where the smaller
+                 # window union fits 256 chunks — the wide gather is paid
+                 # ONLY by the few re-tiled tiles, and the large kernel's
+                 # dynamic block extent keeps compute proportional
 KCHUNK_S = 32    # small-class chunk budget -> 1024 candidate slots
 CHUNK_BLK = 32   # chunks per dynamic compute block in the large kernel
 TILE_SB = 512    # tiles per gather/kernel super-block
-RES_FRAC = 4     # pass-2 capacity = ceil(Rp / RES_FRAC) lanes
+RES_FRAC = 8     # pass-2 capacity = ceil(Rp / RES_FRAC) lanes (measured
+                 # pass-1 failure ~4-8% of tiles — finer occupancy-driven
+                 # grids widen morton boxes past XYB_T; overflow falls
+                 # through to the chunk-row residual)
+RESIDUAL_CAP = 65536  # compacted chunk-row residual lanes (beyond: tiered)
 
 
 def _morton3(x, y, z):
@@ -762,7 +821,8 @@ def _pack_chunk_table(pm):
     return rows.reshape(-1, 512)                           # (P32 + 1, 512)
 
 
-def _tile_pass(pm, tbl, scal, q_s, cells_s, k, interpret, tq, n_live=None):
+def _tile_pass(pm, tbl, scal, q_s, cells_s, k, interpret, tq, n_live=None,
+               kchunk=KCHUNK):
     """One tile pass over SORTED, tq-padded query arrays.
 
     q_s (Rp, 8): pos, dir, pad; cells_s (Rp, 3).  ``n_live``: only the
@@ -824,16 +884,16 @@ def _tile_pass(pm, tbl, scal, q_s, cells_s, k, interpret, tq, n_live=None):
                      rlen, 0)
     prefix = jnp.cumsum(rlen, axis=1)
     n_chunks = prefix[:, -1]
-    fast = box_ok & (n_ranges <= R_MAX) & (n_chunks <= KCHUNK)
+    fast = box_ok & (n_ranges <= R_MAX) & (n_chunks <= kchunk)
 
     # expand ranges into the (nT, KCHUNK) chunk-id list
-    j = jnp.arange(KCHUNK, dtype=jnp.int32)[None, :]
-    run_of = jnp.zeros((nT, KCHUNK), jnp.int32)
+    j = jnp.arange(kchunk, dtype=jnp.int32)[None, :]
+    run_of = jnp.zeros((nT, kchunk), jnp.int32)
     for r in range(R_MAX):
         run_of = run_of + (j >= prefix[:, r:r + 1]).astype(jnp.int32)
     run_of = jnp.minimum(run_of, R_MAX - 1)
-    before = jnp.zeros((nT, KCHUNK), jnp.int32)
-    startc = jnp.zeros((nT, KCHUNK), jnp.int32)
+    before = jnp.zeros((nT, kchunk), jnp.int32)
+    startc = jnp.zeros((nT, kchunk), jnp.int32)
     for r in range(R_MAX):
         is_r = run_of == r
         if r > 0:
@@ -894,8 +954,9 @@ def _tile_pass(pm, tbl, scal, q_s, cells_s, k, interpret, tq, n_live=None):
         est_rows, _ = jax.lax.scan(step, est_rows, jnp.arange(n_sb))
         return est_rows
 
-    est_rows = class_pass(est_rows, is_small, KCHUNK_S)
-    est_rows = class_pass(est_rows, is_large, KCHUNK)
+    if "nokernel" not in _ABLATE:
+        est_rows = class_pass(est_rows, is_small, KCHUNK_S)
+        est_rows = class_pass(est_rows, is_large, kchunk)
     est = est_rows[:nT].transpose(0, 2, 1).reshape(Rp, 8)[:, :3]
     return est, jnp.repeat(fast, tq)
 
@@ -941,6 +1002,8 @@ def _fwd_impl(pm, point, direction, k, interpret):
                             jnp.zeros(2, jnp.float32)]).reshape(1, 8)
 
     est1, fast1 = _tile_pass(pm, tbl, scal, q_s, cells_s, k, interpret, TQ_T)
+    if "pass1" in _ABLATE:
+        return est1[pos_of][:R].astype(dt)
 
     # ---- pass 2: re-tile pass-1 failures at TQ_T2 ----
     # stable-compact residual lanes to the front (keeps z-order), process
@@ -963,7 +1026,7 @@ def _fwd_impl(pm, point, direction, k, interpret):
     q2 = q_s[lane2]
     cells2 = cells_s[lane2]
     est2_c, fast2_c = _tile_pass(pm, tbl, scal, q2, cells2, k, interpret,
-                                 TQ_T2, n_live=n_res)
+                                 TQ_T2, n_live=n_res, kchunk=KCHUNK2)
     fast2_c &= live2
     lane2_sc = jnp.where(live2, lane2, jnp.int32(Rp))
     est2 = jnp.zeros((Rp + 1, 3), jnp.float32).at[lane2_sc].set(
@@ -977,39 +1040,59 @@ def _fwd_impl(pm, point, direction, k, interpret):
     est = est_s[pos_of]
     lane_ok = covered_s[pos_of]
 
+    if "nores" in _ABLATE:
+        return jnp.where(lane_ok[:, None], est, 0.0).astype(dt)
     res2 = ~lane_ok
     n_r2 = jnp.sum(res2.astype(jnp.int32))
     far = (pm.grid_min - 1e6 * jnp.maximum(
         1.0 / jnp.maximum(pm.inv_cell, 1e-20), 1.0)).astype(dt)
 
-    # the per-point path's scalar gathers cost ~1 s per 32k-lane block, so
-    # the common tiny residual (a few hundred lanes at tiles straddling
-    # z-order jumps) runs on a compacted SLOW_CAP-lane array; the full-R
-    # call survives only for pathological residuals
-    SLOW_CAP = min(8192, R)
+    # residual lanes (tiles whose box/chunk budget failed both passes) run
+    # the CHUNK-ROW path on a compacted array: per-query <=CCAP whole-row
+    # fetches — ~20x cheaper than the per-point tiered path the r4 residual
+    # used (measured: the residual machinery was ~75% of the wave gather).
+    # Dense-focal windows overflowing CCAP chunks fall through to the
+    # reference path inside sample_photons_chunkrow itself.
+    SLOW_CAP = min(RESIDUAL_CAP, R)
     a2 = res2.astype(jnp.int32)
     c2 = jnp.cumsum(a2) - a2
-    slot = jnp.where(res2, jnp.minimum(c2, SLOW_CAP - 1), SLOW_CAP)
-    lane_r = jnp.full((SLOW_CAP + 1,), -1, jnp.int32).at[slot].set(
-        jnp.arange(R, dtype=jnp.int32))[:SLOW_CAP]
-    live_r = lane_r >= 0
-    lane_r = jnp.maximum(lane_r, 0)
 
-    def slow_small():
-        p_r = jnp.where(live_r[:, None], point[lane_r], far[None, :])
-        d_r = direction[lane_r]
-        e_r = _fwd_perpoint(pm, p_r, d_r, k, interpret).astype(jnp.float32)
-        out = jnp.zeros((R + 1, 3), jnp.float32).at[
-            jnp.where(live_r, lane_r, R)].set(e_r)
-        return out[:R]
+    def slow_at(cap_):
+        # ccap=96 keeps whole 27-cell windows EXACT up to the photon map's
+        # own per-cell occupancy bound (27 * 96 / 32 = 81 chunks + 9 run-
+        # rounding spares); only denser/fragmented windows fall through to
+        # the truncated reference path inside sample_photons_chunkrow
+        def f():
+            slot_ = jnp.where(res2, jnp.minimum(c2, cap_ - 1), cap_)
+            ln = jnp.full((cap_ + 1,), -1, jnp.int32).at[slot_].set(
+                jnp.arange(R, dtype=jnp.int32))[:cap_]
+            lv = ln >= 0
+            ln = jnp.maximum(ln, 0)
+            p_r = jnp.where(lv[:, None], point[ln], far[None, :])
+            d_r = direction[ln]
+            e_r = sample_photons_chunkrow(pm, p_r, d_r, k,
+                                          ccap=96).astype(jnp.float32)
+            out = jnp.zeros((R + 1, 3), jnp.float32).at[
+                jnp.where(lv, ln, R)].set(e_r)
+            return out[:R]
+        return f
 
     def slow_full():
         p_slow = jnp.where(res2[:, None], point, far[None, :])
         return _fwd_perpoint(pm, p_slow, direction, k,
                              interpret).astype(jnp.float32)
 
+    # bucketed residual width: the call always costs its STATIC lane cap,
+    # so a small residual (the common case) must not pay the big bucket
+    CAP_SM = min(4096, R)
+    CAP_MD = min(32768, R)
     est_slow = jax.lax.cond(
         n_r2 == 0, lambda: jnp.zeros((R, 3), jnp.float32),
-        lambda: jax.lax.cond(n_r2 <= SLOW_CAP, slow_small, slow_full))
+        lambda: jax.lax.cond(
+            n_r2 <= CAP_SM, slow_at(CAP_SM),
+            lambda: jax.lax.cond(
+                n_r2 <= CAP_MD, slow_at(CAP_MD),
+                lambda: jax.lax.cond(n_r2 <= SLOW_CAP, slow_at(SLOW_CAP),
+                                     slow_full))))
     out = jnp.where(lane_ok[:, None], est, est_slow)
     return out.astype(dt)

@@ -1,5 +1,6 @@
-"""Synthetic big-scene bench: wavy terrain at 250k tris (Pallas path, now
-under the 300k VMEM cap) and 500k tris (jnp BVH fallback)."""
+"""Synthetic big-scene bench: wavy terrain at 250k tris (dense VMEM Pallas
+path), 500k and 1M tris (HBM-streaming superchunk Pallas kernel, r5 —
+replaces the r4 jnp BVH fallback that ran at 6.9k rays/s)."""
 import os, sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import jax
@@ -41,7 +42,8 @@ def terrain_scene(n):
     return b.build(dtype=np.float32)
 
 
-for n, label in ((355, "250k_pallas"), (501, "500k_jnp_fallback")):
+for n, label in ((355, "250k_pallas"), (501, "500k_stream"),
+                 (708, "1m_stream")):
     t0 = time.time()
     scene = terrain_scene(n)
     print(f"[{label}] built {scene.n_tris} tris ({time.time()-t0:.1f}s)",

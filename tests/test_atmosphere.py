@@ -174,3 +174,23 @@ light 0 5 0 4 4 4 .05
     assert ls.scene.has_fog
     assert float(ls.scene.fog.density) == 4.0
     np.testing.assert_allclose(np.asarray(ls.scene.fog.color), [1, 1, 1])
+
+
+def test_fog_chunked_waves_match_whole_frame():
+    """Fog frames dispatch each wave in bounded lane chunks (the tunneled
+    TPU kills long fog programs); chunking must be bitwise-invisible."""
+    import numpy as np
+    import jax.numpy as jnp
+    from gi_raytracer_tpu.render.integrator import Renderer
+    from gi_raytracer_tpu.render import Camera
+
+    from gi_raytracer_tpu.config import RenderConfig
+    scene = _foggy_scene()
+    cfg = RenderConfig(min_samples=2, max_samples=2, adaptive=False,
+                       max_depth=3, dtype="float64")
+    cam = Camera(pos=(0.0, 2.0, -6.0), look_at=(0.0, 0.0, 0.0))
+    r1 = Renderer(scene, cam, cfg.replace(fog_lane_chunk=0), 32, 32)
+    img1 = np.asarray(r1.render())
+    r2 = Renderer(scene, cam, cfg.replace(fog_lane_chunk=256), 32, 32)
+    img2 = np.asarray(r2.render())
+    np.testing.assert_array_equal(img2, img1)
