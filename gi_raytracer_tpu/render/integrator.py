@@ -96,7 +96,8 @@ def _direct_light(scene: Scene, cfg: RenderConfig, point, normal, rough,
 
 def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
                   sx_all, sy_all, key, wave_salt=0, photon_map=None,
-                  with_counts: bool = False, lane_base=0, lane_ids=None):
+                  with_counts: bool = False, lane_base=0, lane_ids=None,
+                  prim_rows=None):
     """Trace a wave of rays through `max_depth` bounces; returns (R,3)
     radiance (and, with ``with_counts``, the honest per-wave traversal
     counts: alive closest-hit lanes and issued shadow-ray lanes).
@@ -117,8 +118,12 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
     D = cfg.max_depth
     ambient = jnp.asarray(cfg.ambient, dt)
     # one wide shade-row table: all per-prim attribute fetches collapse to a
-    # single (R, PR_W) gather per bounce (loop-invariant, hoisted by XLA)
-    rows = build_prim_rows(scene)
+    # single (R, PR_W) gather per bounce.  Callers rendering repeatedly
+    # (Renderer) pass a PRECOMPUTED table: rebuilt in-loop, XLA's
+    # rematerializer re-derives it per while-iteration and its (T, k<128)
+    # intermediates tile-pad to 128 wide — 488 MB per temp at 1M tris
+    # (measured OOM).  Gradient callers leave it None (differentiable).
+    rows = prim_rows if prim_rows is not None else build_prim_rows(scene)
 
     state = PathState(
         ro=ro, rd=rd,
@@ -230,7 +235,7 @@ def radiance_wave(scene: Scene, cfg: RenderConfig, ro, rd,
 
 def dispatch_wave(scene, cfg, ro, rd, sx_all, sy_all, key, wave_salt=0,
                   photon_map=None, with_counts=False, lane_base=0,
-                  lane_ids=None):
+                  lane_ids=None, prim_rows=None):
     """Render-path wave dispatcher: the whole-bounce Pallas megakernel for
     eligible scenes on TPU (or when forced via cfg.integrator="mega"),
     the staged `radiance_wave` otherwise.  Gradient paths must call
@@ -260,7 +265,8 @@ def dispatch_wave(scene, cfg, ro, rd, sx_all, sy_all, key, wave_salt=0,
         return (out, counts) if with_counts else out
     return radiance_wave(scene, cfg, ro, rd, sx_all, sy_all, key, wave_salt,
                          photon_map, with_counts=with_counts,
-                         lane_base=lane_base, lane_ids=lane_ids)
+                         lane_base=lane_base, lane_ids=lane_ids,
+                         prim_rows=prim_rows)
 
 
 class Renderer:
@@ -302,6 +308,28 @@ class Renderer:
         while ms % wb:
             wb -= 1
         self._wave_batch = wb
+        self._prim_rows_cache = None
+
+    def _prim_rows(self):
+        """The packed shade-row table, computed ONCE per renderer and fed
+        to every wave as a program INPUT — rebuilt inside the fused while
+        loop, XLA's rematerializer re-derives it per iteration with
+        tile-padded (T, k) temps (488 MB each at 1M tris; measured OOM).
+        Built on the HOST CPU so the device only ever sees the final
+        (T, 64) table (even a one-shot device build materializes several
+        tile-padded temps at once)."""
+        if self._prim_rows_cache is None:
+            import numpy as _np
+            try:
+                cpu = jax.devices("cpu")[0]
+                scene_host = jax.tree_util.tree_map(
+                    lambda x: _np.asarray(x), self.scene)
+                with jax.default_device(cpu):
+                    rows = _np.asarray(build_prim_rows(scene_host))
+                self._prim_rows_cache = jnp.asarray(rows)
+            except RuntimeError:   # no CPU backend: build on device
+                self._prim_rows_cache = jax.jit(build_prim_rows)(self.scene)
+        return self._prim_rows_cache
 
     def _bounce_samples(self, idx_flat):
         """(D, R) QMC/PRNG pairs for every bounce (raytracer.h:172-173)."""
@@ -321,7 +349,7 @@ class Renderer:
         return (jnp.stack(sx).astype(dt), jnp.stack(sy).astype(dt))
 
     def _wave_radiance(self, scene, photon_map, idx_flat, wave_i,
-                       with_counts=False):
+                       with_counts=False, prim_rows=None):
         """One full-frame sample wave -> (H*W, 3) radiance in RASTER order.
 
         ``idx_flat`` is raster-order per-pixel Halton indices; rays are
@@ -347,7 +375,7 @@ class Renderer:
                             key, 0, photon_map,
                             with_counts=with_counts,
                             lane_base=jnp.asarray(wave_i).astype(jnp.uint32)
-                            * jnp.uint32(N))
+                            * jnp.uint32(N), prim_rows=prim_rows)
         inv = jnp.asarray(self._inv_perm)
         if with_counts:
             c, counts = out
@@ -355,16 +383,18 @@ class Renderer:
         return out[inv]
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _wave(self, scene, photon_map, idx_flat, wave_i):
+    def _wave(self, scene, photon_map, idx_flat, wave_i, prim_rows=None):
         """One full-frame sample wave -> (H*W, 3) radiance."""
-        return self._wave_radiance(scene, photon_map, idx_flat, wave_i)
+        return self._wave_radiance(scene, photon_map, idx_flat, wave_i,
+                                   prim_rows=prim_rows)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _wave_counted(self, scene, photon_map, idx_flat, wave_i):
+    def _wave_counted(self, scene, photon_map, idx_flat, wave_i,
+                      prim_rows=None):
         """Like _wave but also returns the honest (closest, shadow) ray
         counts so the host-stepped loop can track state["rays"]."""
         return self._wave_radiance(scene, photon_map, idx_flat, wave_i,
-                                   with_counts=True)
+                                   with_counts=True, prim_rows=prim_rows)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _wave_inputs(self, idx_flat, wave_i):
@@ -383,11 +413,11 @@ class Renderer:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _wave_chunk(self, scene, photon_map, ro, rd, sx, sy, lane_ids,
-                    wave_i):
+                    wave_i, prim_rows=None):
         key = jax.random.fold_in(self._key, wave_i)
         return dispatch_wave(scene, self.cfg, ro, rd, sx, sy, key, 0,
                              photon_map, with_counts=True,
-                             lane_ids=lane_ids)
+                             lane_ids=lane_ids, prim_rows=prim_rows)
 
     def _wave_counted_chunked(self, scene, photon_map, idx_flat, wave_i,
                               chunk):
@@ -407,7 +437,7 @@ class Renderer:
             c, (nc, ns) = self._wave_chunk(
                 scene, photon_map, ro[s:e], rd[s:e],
                 sx_all[:, s:e], sy_all[:, s:e], lane_ids,
-                jnp.uint32(wave_i))
+                jnp.uint32(wave_i), prim_rows=self._prim_rows())
             outs.append(c)
             n_c += int(nc)
             n_s += int(ns)
@@ -446,7 +476,8 @@ class Renderer:
         return {"mean": mean, "var": var, "samps": samps, "active": active,
                 "wave": jnp.asarray(s + 1, jnp.int32), "rays": st["rays"]}
 
-    def _batched_radiance(self, scene, photon_map, first_wave):
+    def _batched_radiance(self, scene, photon_map, first_wave,
+                          prim_rows=None):
         """Trace waves [first_wave, first_wave + B) as ONE (B*N)-lane
         wavefront.  Lane ids are globally unique per (pixel, sample)
         (lane_base = first_wave * N), so every stochastic stream — and
@@ -473,12 +504,13 @@ class Renderer:
         base = jnp.asarray(first_wave).astype(jnp.uint32) * jnp.uint32(N)
         out, counts = dispatch_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
                                     key, 0, photon_map, with_counts=True,
-                                    lane_base=base)
+                                    lane_base=base, prim_rows=prim_rows)
         inv = jnp.asarray(self._inv_perm)
         c = out.reshape(B, N, 3)[:, inv, :].reshape(B, H, W, 3)
         return c, counts
 
-    def _block_adaptive_wave(self, scene, photon_map, st):
+    def _block_adaptive_wave(self, scene, photon_map, st,
+                             prim_rows=None):
         """One adaptive wave that traces ONLY the 16x16 pixel blocks still
         active (the reference stops per-PIXEL work, raytracer.h:108-148;
         dense SPMD stops per-BLOCK): active blocks are compacted to the
@@ -524,7 +556,7 @@ class Renderer:
             sx_all, sy_all = self._bounce_samples(idx)
             return dispatch_wave(scene, self.cfg, ro, rd, sx_all, sy_all,
                                  key, 0, photon_map, with_counts=True,
-                                 lane_ids=lane_ids)
+                                 lane_ids=lane_ids, prim_rows=prim_rows)
 
         def step(carry, g):
             c_blocks, rays = carry
@@ -554,7 +586,7 @@ class Renderer:
         return st
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _render_fused(self, scene, photon_map, state):
+    def _render_fused(self, scene, photon_map, state, prim_rows):
         """The ENTIRE adaptive multi-wave render as one on-device
         `lax.while_loop` — replaces the reference's per-pixel sample loop
         + OpenMP row fan-out (raytracer.h:93-148) with zero host round
@@ -572,11 +604,13 @@ class Renderer:
             return (st["wave"] < self.cfg.max_samples) & jnp.any(st["active"])
 
         def body_adaptive(st):
-            return self._block_adaptive_wave(scene, photon_map, st)
+            return self._block_adaptive_wave(scene, photon_map, st,
+                                             prim_rows=prim_rows)
 
         def body_batched(st):
             s = st["wave"]
-            c, (n_c, n_s) = self._batched_radiance(scene, photon_map, s)
+            c, (n_c, n_s) = self._batched_radiance(scene, photon_map, s,
+                                                   prim_rows=prim_rows)
 
             def fold(st_i, xs):
                 cb, b = xs
@@ -622,7 +656,8 @@ class Renderer:
                        and H * W > cfg.fog_lane_chunk)
 
         if on_wave is None and not verbose and not fog_chunked:
-            st = self._render_fused(self.scene, self.photon_map, st)
+            st = self._render_fused(self.scene, self.photon_map, st,
+                                    self._prim_rows())
             return (st["mean"], st) if return_state else st["mean"]
 
         first = int(st["wave"])
@@ -634,7 +669,8 @@ class Renderer:
                     cfg.fog_lane_chunk)
             else:
                 c, (n_c, n_s) = self._wave_counted(
-                    self.scene, self.photon_map, idx, jnp.uint32(s))
+                    self.scene, self.photon_map, idx, jnp.uint32(s),
+                    prim_rows=self._prim_rows())
             c = c.reshape(H, W, 3)
             st = self._accumulate(st, c, jnp.asarray(s))
             st["rays"] = st["rays"] + (n_c + n_s).astype(jnp.float32)

@@ -52,33 +52,46 @@ TEXD_W = 14
 
 def _tex_descriptor(tx: Textures, tid, dt):
     """(N, 14) float descriptor rows for texture ids ``tid``."""
+    return _tex_descriptor_t(tx, tid, dt).T
+
+
+def _tex_descriptor_t(tx: Textures, tid, dt):
+    """(14, N) TRANSPOSED descriptor — assembly happens with primitives on
+    the LANE axis: a (N, k<128) temp gets its minor dim tile-padded to 128
+    (64x HBM blowup at 1M prims — measured OOM), a (k, N) temp pads k to
+    the next sublane multiple only."""
     return jnp.concatenate([
-        tx.kind[tid, None].astype(dt),
-        (tx.offset[tid, None] // 4096).astype(dt),
-        (tx.offset[tid, None] % 4096).astype(dt),
-        tx.width[tid, None].astype(dt),
-        tx.height[tid, None].astype(dt),
-        tx.has_alpha[tid, None].astype(dt),
-        tx.tiles[tid].astype(dt),
-        tx.color[tid].astype(dt),
-        tx.color2[tid].astype(dt),
-    ], axis=1)
+        tx.kind[None, tid].astype(dt),
+        (tx.offset[None, tid] // 4096).astype(dt),
+        (tx.offset[None, tid] % 4096).astype(dt),
+        tx.width[None, tid].astype(dt),
+        tx.height[None, tid].astype(dt),
+        tx.has_alpha[None, tid].astype(dt),
+        tx.tiles[tid].T.astype(dt),
+        tx.color[tid].T.astype(dt),
+        tx.color2[tid].T.astype(dt),
+    ], axis=0)
 
 
 def build_prim_rows(scene: Scene) -> jnp.ndarray:
-    """(T + S + C, PR_W) packed shade rows for every primitive."""
+    """(T + S + C, PR_W) packed shade rows for every primitive.
+
+    Assembled TRANSPOSED (columns on the sublane axis, primitives on
+    lanes) and flipped once at the end: every (N, k<128) intermediate
+    would tile-pad its minor dim to 128 — a 64x HBM blowup that OOM'd
+    1M-triangle scenes inside the fused render loop."""
     dt = scene.tris.v0.dtype if scene.n_tris else scene.materials.roughness.dtype
     m = scene.materials
     parts = []
 
-    def mat_cols(mat_id):
+    def mat_rows_t(mat_id):
         return jnp.concatenate([
-            m.roughness[mat_id, None].astype(dt),
-            m.opacity[mat_id, None].astype(dt),
-            m.ior[mat_id, None].astype(dt),
-            _tex_descriptor(scene.textures, m.diffuse_tex[mat_id], dt),
-            _tex_descriptor(scene.textures, m.emissive_tex[mat_id], dt),
-        ], axis=1)
+            m.roughness[None, mat_id].astype(dt),
+            m.opacity[None, mat_id].astype(dt),
+            m.ior[None, mat_id].astype(dt),
+            _tex_descriptor_t(scene.textures, m.diffuse_tex[mat_id], dt),
+            _tex_descriptor_t(scene.textures, m.emissive_tex[mat_id], dt),
+        ], axis=0)
 
     if scene.n_tris:
         tr = scene.tris
@@ -86,29 +99,30 @@ def build_prim_rows(scene: Scene) -> jnp.ndarray:
                   & (jnp.sum(tr.n1 * tr.n1, -1) > 0)
                   & (jnp.sum(tr.n2 * tr.n2, -1) > 0))
         geom = jnp.concatenate([
-            tr.v0, tr.e1, tr.e2, tr.n0, tr.n1, tr.n2,
-            tr.uv0, tr.uv1, tr.uv2, tr.face_n,
-            has_vn[:, None].astype(dt)], axis=1)
-        parts.append(jnp.concatenate([geom, mat_cols(tr.mat_id)], axis=1))
+            tr.v0.T, tr.e1.T, tr.e2.T, tr.n0.T, tr.n1.T, tr.n2.T,
+            tr.uv0.T, tr.uv1.T, tr.uv2.T, tr.face_n.T,
+            has_vn[None, :].astype(dt)], axis=0)
+        parts.append(jnp.concatenate([geom, mat_rows_t(tr.mat_id)], axis=0))
     if scene.n_spheres:
         sp = scene.spheres
         S = sp.count
         geom = jnp.concatenate([
-            sp.pos, sp.rad[:, None],
-            jnp.zeros((S, 24), dt)], axis=1)
-        parts.append(jnp.concatenate([geom, mat_cols(sp.mat_id)], axis=1))
+            sp.pos.T, sp.rad[None, :],
+            jnp.zeros((24, S), dt)], axis=0)
+        parts.append(jnp.concatenate([geom, mat_rows_t(sp.mat_id)], axis=0))
     if scene.n_cones:
         cn = scene.cones
         C = cn.count
         geom = jnp.concatenate([
-            cn.pos, cn.rad[:, None], cn.height[:, None],
-            cn.w2l.reshape(C, 9),
-            jnp.zeros((C, 14), dt)], axis=1)
-        parts.append(jnp.concatenate([geom, mat_cols(cn.mat_id)], axis=1))
+            cn.pos.T, cn.rad[None, :], cn.height[None, :],
+            cn.w2l.reshape(C, 9).T,
+            jnp.zeros((14, C), dt)], axis=0)
+        parts.append(jnp.concatenate([geom, mat_rows_t(cn.mat_id)], axis=0))
     if not parts:
-        parts = [jnp.zeros((1, 28 + 3 + 2 * TEXD_W), dt)]
-    rows = jnp.concatenate(parts, axis=0)
-    return jnp.pad(rows, ((0, 0), (0, PR_W - rows.shape[1])))
+        parts = [jnp.zeros((28 + 3 + 2 * TEXD_W, 1), dt)]
+    rows_t = jnp.concatenate(parts, axis=1)
+    rows_t = jnp.pad(rows_t, ((0, PR_W - rows_t.shape[0]), (0, 0)))
+    return rows_t.T
 
 
 def _tex_eval_desc(scene: Scene, desc, u, v):

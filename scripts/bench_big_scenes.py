@@ -42,7 +42,7 @@ def terrain_scene(n):
     return b.build(dtype=np.float32)
 
 
-for n, label in ((355, "250k_pallas"), (501, "500k_stream"),
+for n, label in ((355, "250k_stream"), (501, "500k_stream"),
                  (708, "1m_stream")):
     t0 = time.time()
     scene = terrain_scene(n)

@@ -86,7 +86,7 @@ def main():
     if os.path.exists(stats_path):
         stats.update(json.load(open(stats_path)))
     for name, scn, golden, spp, depth, photons in targets:
-        size = 256 if name == "cornell_fog" else SIZE
+        size = SIZE
         t0 = time.time()
         ls = load_scene(scn)
         cfg = ls.config.replace(min_samples=spp, max_samples=spp,

@@ -1,0 +1,132 @@
+"""ON-DEVICE equivalence verification — run on the real TPU.
+
+The r4 megakernel shipped only after diagnosing a silent Mosaic precision
+regression (the extraction matmul truncating f32 operands to bf16) that
+interpret-mode CI could NOT see.  This script is the committed guard for
+that class of bug: it re-verifies, on the actual chip,
+
+  1. megakernel vs staged-Pallas radiance waves (cornell, depth 4/8/16):
+     identical honest ray counts, max |delta| <= tolerance;
+  2. the tiled Pallas kNN gather vs the per-point reference path on real
+     primary-hit query points (cornell 750k map);
+  3. the chunk-row differentiable path vs the reference gather.
+
+Prints one PASS/FAIL line per check and exits nonzero on any failure.
+Paste the output into the round notes after every kernel change.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+SCENE = "/root/reference/scenes/cornell/test.scn"
+W = H = 128          # 16k lanes: big enough to hit every code path
+FAILED = []
+
+
+def check(name, ok, detail=""):
+    print(f"[{'PASS' if ok else 'FAIL'}] {name} {detail}", flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    from gi_raytracer_tpu.scene import load_scene
+    from gi_raytracer_tpu.render import Camera
+    from gi_raytracer_tpu.render.camera import primary_rays
+    from gi_raytracer_tpu.render.integrator import Renderer, radiance_wave
+    from gi_raytracer_tpu.render.photon import (trace_photons,
+                                                build_photon_map,
+                                                sample_photons)
+    from gi_raytracer_tpu.render.photon_knn import (sample_photons_tiled,
+                                                    sample_photons_chunkrow)
+    from gi_raytracer_tpu.ops.pallas_megakernel import (radiance_wave_mega,
+                                                        mega_eligible)
+    from gi_raytracer_tpu.ops.intersect import trace_closest
+
+    assert jax.default_backend() == "tpu", (
+        "verify_device must run on the real TPU (backend="
+        + jax.default_backend() + ")")
+
+    ls = load_scene(SCENE)
+    cam = Camera(pos=ls.camera_pos, look_at=ls.camera_look_at)
+
+    # ---- 1. megakernel vs staged, on device ----
+    for depth in (4, 8, 16):
+        cfg = ls.config.replace(min_samples=1, max_samples=1,
+                                max_depth=depth, adaptive=False,
+                                dtype="float32",
+                                intersect_backend="pallas")
+        assert mega_eligible(ls.scene, cfg)
+        r = Renderer(ls.scene, cam, cfg, W, H)
+        idx = jnp.asarray(r.enum.index_image(0).ravel()[
+            np.asarray(r._perm)])
+        xr = r.sampler.sample(0, idx, r._index_bits).astype(jnp.float32)
+        yr = r.sampler.sample(1, idx, r._index_bits).astype(jnp.float32)
+        ro, rd = primary_rays(cam, W, H, xr * r.enum.scale_x,
+                              yr * r.enum.scale_y)
+        sx, sy = r._bounce_samples(idx)
+        lane = jnp.arange(ro.shape[0], dtype=jnp.uint32)
+        key = jax.random.PRNGKey(0)
+        want, (ncw, nsw) = jax.jit(
+            lambda: radiance_wave(ls.scene, cfg, ro, rd, sx, sy, key, 0,
+                                  None, with_counts=True))()
+        got, (ncg, nsg) = jax.jit(
+            lambda: radiance_wave_mega(ls.scene, cfg, ro, rd, sx, sy,
+                                       lane, 0, None, interpret=False))()
+        err = float(jnp.max(jnp.abs(got - want)))
+        counts_ok = (int(ncg) == int(ncw)) and (int(nsg) == int(nsw))
+        check(f"mega_vs_staged_depth{depth}",
+              np.isfinite(err) and err < 1e-4 and counts_ok,
+              f"max|d|={err:.2e} counts {int(ncg)}/{int(ncw)} "
+              f"{int(nsg)}/{int(nsw)}")
+
+    # ---- 2. tiled kNN vs reference on real primary-hit points ----
+    cfg = ls.config.replace(min_samples=1, max_samples=1, max_depth=8,
+                            adaptive=False, dtype="float32")
+    batch = trace_photons(ls.scene, cfg.replace(photons=750_000))
+    pm = build_photon_map(batch, np.asarray(ls.scene.world_min),
+                          np.asarray(ls.scene.world_max))
+    r = Renderer(ls.scene, cam, cfg, 256, 256)
+    idx = jnp.asarray(r.enum.index_image(0).ravel())
+    xr = r.sampler.sample(0, idx, r._index_bits).astype(jnp.float32)
+    yr = r.sampler.sample(1, idx, r._index_bits).astype(jnp.float32)
+    ro, rd = primary_rays(cam, 256, 256, xr * r.enum.scale_x,
+                          yr * r.enum.scale_y)
+    hit = jax.jit(lambda a, b: trace_closest(ls.scene, a, b))(ro, rd)
+    pts = ro + jnp.where(hit.prim >= 0, hit.t, 0.0)[:, None] * rd
+    dirs = -rd
+    want = np.asarray(jax.jit(
+        lambda: sample_photons(pm, pts, dirs, 32))())
+    got = np.asarray(jax.jit(
+        lambda: sample_photons_tiled(pm, pts, dirs, 32))())
+    scale = 2e-4 * (1.0 + np.abs(want).max(1, keepdims=True))
+    bad = (np.abs(got - want) > scale).any(1)
+    check("knn_tiled_vs_reference",
+          bad.mean() < 1e-3,   # distance-tie lanes allowed, <0.1%
+          f"mismatched lanes {int(bad.sum())}/{len(bad)}")
+
+    got2 = np.asarray(jax.jit(
+        lambda: sample_photons_chunkrow(pm, pts, dirs, 32))())
+    bad2 = (np.abs(got2 - want) > scale).any(1)
+    check("knn_chunkrow_vs_reference", bad2.mean() < 1e-3,
+          f"mismatched lanes {int(bad2.sum())}/{len(bad2)}")
+
+    print(("ALL PASS" if not FAILED else f"FAILURES: {FAILED}"), flush=True)
+    return 1 if FAILED else 0
+
+
+if __name__ == "__main__":
+    t0 = time.time()
+    rc = main()
+    print(f"verify_device done in {time.time() - t0:.1f}s")
+    sys.exit(rc)
