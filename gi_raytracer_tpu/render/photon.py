@@ -577,10 +577,16 @@ def sample_photons_backend(pm: PhotonMap, point, direction, k,
                            backend: str = "auto") -> jnp.ndarray:
     """Backend-dispatched caustic estimate: the tiled Pallas gather
     (photon_knn) on TPU, the per-point jnp path elsewhere/by request.
-    Both compute the same estimator; the tiled path carries a custom VJP
-    that replays this module's gather for gradients."""
+    All backends compute the same estimator.  "chunkrow" is the plainly
+    differentiable chunk-row path (no Pallas kernels, no custom VJP) —
+    the right choice inside training losses: the tiled pipeline's
+    custom-VJP graph is heavy enough to crash the tunneled TPU's compile
+    helper when differentiated."""
     if backend == "jnp":
         return sample_photons(pm, point, direction, k)
+    if backend == "chunkrow":
+        from .photon_knn import sample_photons_chunkrow
+        return sample_photons_chunkrow(pm, point, direction, k)
     if backend == "pallas" or jax.default_backend() == "tpu":
         from .photon_knn import sample_photons_tiled
         return sample_photons_tiled(pm, point, direction, k)
