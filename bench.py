@@ -119,68 +119,71 @@ def main():
                       "seconds": dt_g, "query_protocol": "primary-hit"}))
 
     # --- backward pass: one inverse-rendering step (VERDICT r4 #5) --------
-    # cornell at 256x256, 4 spp as one 262144-lane wavefront, STAGED path,
-    # small 50k photon map; loss = L2 to a target image; gradients flow to
-    # the photon-map colors through the tiled kNN's chunk-row VJP and to
-    # the light color through the whole staged estimator.
+    # STAGED fwd+bwd through the whole estimator with a 50k-photon map;
+    # gradients to the photon-map colors (through the differentiable
+    # chunk-row kNN) and the light color.  The tunnel's remote compile
+    # helper crashes on the largest differentiated programs, so a ladder
+    # of configs is tried largest-first and the first that compiles is
+    # reported.
     from gi_raytracer_tpu.render.integrator import radiance_wave
-    W2 = H2 = 256
-    # 1 spp: the 4-spp (262k-lane) fwd+bwd program crashes the tunnel's
-    # remote compile helper (HTTP 500); one 65k-lane wavefront compiles
-    # and measures the same kernels
-    SPP2 = 1
-    N2 = W2 * H2
-    # chunkrow kNN backend: differentiable without the tiled pipeline's
-    # custom-VJP graph (which crashes the tunnel's compile helper)
-    cfg2 = cfg.replace(min_samples=SPP2, max_samples=SPP2,
-                       knn_backend="chunkrow")
     n_small = 50_000
     small = jax.tree_util.tree_map(lambda a: a[:n_small], batch)
     pm_small = build_photon_map(small, np.asarray(ls.scene.world_min),
                                 np.asarray(ls.scene.world_max))
-    rb = Renderer(ls.scene, cam, cfg2, W2, H2)
-    idx = jnp.concatenate([
-        jnp.asarray(rb.enum.index_image(s).ravel()[np.asarray(rb._perm)])
-        for s in range(SPP2)])
-    xr2 = rb.sampler.sample(0, idx, rb._index_bits).astype(jnp.float32)
-    yr2 = rb.sampler.sample(1, idx, rb._index_bits).astype(jnp.float32)
-    ro2, rd2 = primary_rays(cam, W2, H2, xr2 * rb.enum.scale_x,
-                            yr2 * rb.enum.scale_y)
-    sx2, sy2 = rb._bounce_samples(idx)
-    lane2 = jnp.arange(SPP2 * N2, dtype=jnp.uint32)
-    key2 = jax.random.PRNGKey(0)
-    target = jnp.full((SPP2 * N2, 3), 0.25, jnp.float32)
+    done = False
+    for W2, depth_b, knn_b in ((256, 8, "chunkrow"), (128, 6, "chunkrow"),
+                               (128, 6, "jnp")):
+        if done:
+            break
+        N2 = W2 * W2
+        cfg2 = cfg.replace(min_samples=1, max_samples=1, max_depth=depth_b,
+                           knn_backend=knn_b)
+        rb = Renderer(ls.scene, cam, cfg2, W2, W2)
+        idx = jnp.asarray(rb.enum.index_image(0).ravel()[
+            np.asarray(rb._perm)])
+        xr2 = rb.sampler.sample(0, idx, rb._index_bits).astype(jnp.float32)
+        yr2 = rb.sampler.sample(1, idx, rb._index_bits).astype(jnp.float32)
+        ro2, rd2 = primary_rays(cam, W2, W2, xr2 * rb.enum.scale_x,
+                                yr2 * rb.enum.scale_y)
+        sx2, sy2 = rb._bounce_samples(idx)
+        lane2 = jnp.arange(N2, dtype=jnp.uint32)
+        key2 = jax.random.PRNGKey(0)
+        target = jnp.full((N2, 3), 0.25, jnp.float32)
 
-    def loss_fn(pcol, lcol):
-        pm_ = pm_small.replace(col=pcol)
-        sc = ls.scene.replace(lights=ls.scene.lights.replace(
-            col=jnp.broadcast_to(lcol, ls.scene.lights.col.shape)))
-        c = radiance_wave(sc, cfg2, ro2, rd2, sx2, sy2, key2, 0, pm_,
-                          lane_ids=lane2)
-        return jnp.mean((c - target) ** 2)
+        def loss_fn(pcol, lcol, cfg2=cfg2, ro2=ro2, rd2=rd2, sx2=sx2,
+                    sy2=sy2, lane2=lane2, target=target):
+            pm_ = pm_small.replace(col=pcol)
+            sc = ls.scene.replace(lights=ls.scene.lights.replace(
+                col=jnp.broadcast_to(lcol, ls.scene.lights.col.shape)))
+            c = radiance_wave(sc, cfg2, ro2, rd2, sx2, sy2, key2, 0, pm_,
+                              lane_ids=lane2)
+            return jnp.mean((c - target) ** 2)
 
-    try:
-        step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
-        out = step(pm_small.col, ls.scene.lights.col[0])  # warmup+compile
-        jax.block_until_ready(out)
-        t0 = time.time()
-        (lv, (g_pcol, g_lcol)) = step(pm_small.col, ls.scene.lights.col[0])
-        jax.block_until_ready(g_pcol)
-        dt_b = time.time() - t0
-    except Exception as e:   # keep the headline metrics flowing
-        print(json.dumps({"metric": "train_step_seconds", "value": None,
-                          "error": str(e)[:160]}))
-    else:
-        print(json.dumps({
-        "metric": "train_step_seconds",
-        "value": dt_b, "unit": "s",
-        "workload": "cornell 256x256, 1spp wavefront (65536 lanes), "
-                    "staged fwd+bwd, 50k-photon map; grads: photon colors "
-                    "(kNN chunk-row VJP) + light color",
-        "loss": float(lv),
-        "grad_norms": [float(jnp.linalg.norm(g_pcol)),
-                       float(jnp.linalg.norm(g_lcol))],
-        }))
+        try:
+            step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+            out = step(pm_small.col, ls.scene.lights.col[0])
+            jax.block_until_ready(out)
+            t0 = time.time()
+            (lv, (g_pcol, g_lcol)) = step(pm_small.col,
+                                          ls.scene.lights.col[0])
+            jax.block_until_ready(g_pcol)
+            dt_b = time.time() - t0
+            print(json.dumps({
+                "metric": "train_step_seconds",
+                "value": dt_b, "unit": "s",
+                "workload": f"cornell {W2}x{W2} 1spp wavefront, depth "
+                            f"{depth_b}, staged fwd+bwd, 50k-photon map, "
+                            f"knn={knn_b}; grads: photon colors + light "
+                            "color",
+                "loss": float(lv),
+                "grad_norms": [float(jnp.linalg.norm(g_pcol)),
+                               float(jnp.linalg.norm(g_lcol))],
+            }))
+            done = True
+        except Exception as e:
+            print(json.dumps({"metric": "train_step_attempt",
+                              "config": [W2, depth_b, knn_b],
+                              "error": str(e)[:120]}))
 
     # --- render WITHOUT the map (r2/r3-comparable trace+shade number) -----
     r0 = Renderer(ls.scene, cam, cfg, WIDTH, HEIGHT)
