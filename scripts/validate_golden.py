@@ -77,7 +77,7 @@ def main():
     stats = {}
     targets = TARGETS + [
         ("cornell_fog", _cornell_fog_scene(),
-         f"{REF}/scenes/cornell/render_atmosphere.png", 4, 6, 0),
+         f"{REF}/scenes/cornell/render_atmosphere.png", 16, 6, 0),
     ]
     # cornell_fog renders at 256px: the 512-px fog wave (262k lanes x a
     # 512-step raymarch scan) is one of the long single programs the
