@@ -45,6 +45,8 @@ CK = 128          # triangles per chunk (sublane axis)
 MEGA_TRI_CAP = 24_000   # (T, 64) f32 attr table must fit VMEM
 ATTR_W = 64       # packed shade-row width (shading.PR_W)
 SHRINK_EVERY = 4
+LINEAR_CHUNK_CAP = 32   # <= this many chunks: static linear traversal
+                        # (measured faster than the ordered walk, PERF.md)
 
 _BIG = 3.0e38
 _IMAX = 2147483647
@@ -161,10 +163,10 @@ def _tile_cull(cbox_ref, act, rox, roy, roz, rdx, rdy, rdz, t_eff,
     return entry, t_cap
 
 
-def _trace_tile(attr_ref, cbox_ref, act, rid_u32, salt_u32,
+def _trace_tile(attr_ref, feat_ref, cbox_ref, act, rid_u32, salt_u32,
                 rox, roy, roz, rdx, rdy, rdz, t_lim,
                 *, n_chunks, ncp, diag, eps, all_opaque, any_hit,
-                want_attrs):
+                want_attrs, ablate=()):
     """Closest-hit (want_attrs=True -> also the winner's (64, RT) shade
     rows) or any-hit trace for one ray tile.  Returns
     (best_t (1,RT), pid (1,RT) i32, rows (64,RT) | None)."""
@@ -176,29 +178,37 @@ def _trace_tile(attr_ref, cbox_ref, act, rid_u32, salt_u32,
     sub = jax.lax.broadcasted_iota(jnp.int32, (CK, RT), 0)
     eps_h = jnp.float32(eps)
 
+    cxx = roy * rdz - roz * rdy                       # ro x rd, (1, RT)
+    cxy = roz * rdx - rox * rdz
+    cxz = rox * rdy - roy * rdx
+
     def test_chunk(c, best_t, pid):
         """Slot-wise update: best_t/pid are (CK, RT) — slot s tracks the
         best among tris {c*CK+s : c visited}.  No cross-sublane reductions
         in the hot loop (the staged kernel's trick); the per-ray winner is
-        reduced once at the end and at t-cap shrinks."""
-        a = attr_ref[pl.ds(c * CK, CK), :]            # (CK, 64)
-        v0x = a[:, 0:1]
-        v0y = a[:, 1:2]
-        v0z = a[:, 2:3]
-        e1x = a[:, 3:4]
-        e1y = a[:, 4:5]
-        e1z = a[:, 5:6]
-        e2x = a[:, 6:7]
-        e2y = a[:, 7:8]
-        e2z = a[:, 8:9]
-        n2x, n2y, n2z = _cross3(e1x, e1y, e1z, e2x, e2y, e2z)
-        fux, fuy, fuz = _cross3(v0x, v0y, v0z, e2x, e2y, e2z)
-        fvx, fvy, fvz = _cross3(v0x, v0y, v0z, e1x, e1y, e1z)
-        d0 = _dot3(v0x, v0y, v0z, n2x, n2y, n2z)
-
-        cxx = roy * rdz - roz * rdy                   # ro x rd, (1, RT)
-        cxy = roz * rdx - rox * rdz
-        cxz = rox * rdy - roy * rdx
+        reduced once at the end and at t-cap shrinks.  The MT features
+        (n2 = e1 x e2, fu = v0 x e2, fv = v0 x e1, d0 = v0.n2) are
+        PRE-DERIVED on the host (build_mega_tables): deriving them here per
+        visit cost ~650 mostly-idle (CK, 1) vreg-ops per chunk test — the
+        bulk of r4's unexplained ~250 ms/wave trace floor (PERF.md r5
+        ablation table)."""
+        f = feat_ref[pl.ds(c * CK, CK), :]            # (CK, 16)
+        n2x = f[:, 0:1]
+        n2y = f[:, 1:2]
+        n2z = f[:, 2:3]
+        fux = f[:, 3:4]
+        fuy = f[:, 4:5]
+        fuz = f[:, 5:6]
+        fvx = f[:, 6:7]
+        fvy = f[:, 7:8]
+        fvz = f[:, 8:9]
+        d0 = f[:, 9:10]
+        e1x = f[:, 10:11]
+        e1y = f[:, 11:12]
+        e1z = f[:, 12:13]
+        e2x = f[:, 13:14]
+        e2y = f[:, 14:15]
+        e2z = f[:, 15:16]
 
         m = rdx * n2x + rdy * n2y + rdz * n2z         # (CK, RT)
         sm = jnp.where(m >= 0.0, 1.0, -1.0)
@@ -218,6 +228,7 @@ def _trace_tile(attr_ref, cbox_ref, act, rid_u32, salt_u32,
         ok &= (tc < t_eff) & (tc < best_t)
 
         if not all_opaque:
+            a = attr_ref[pl.ds(c * CK, CK), :]        # (CK, 64)
             accept = jnp.where(a[:, 30:31] != 1.0, 1.0, a[:, 29:30])
             prim_g = (c.astype(jnp.uint32) * jnp.uint32(CK)
                       + sub.astype(jnp.uint32))
@@ -254,13 +265,40 @@ def _trace_tile(attr_ref, cbox_ref, act, rid_u32, salt_u32,
         c = jnp.min(jnp.where(entry <= me, lane_c, jnp.int32(_IMAX)))
         best_t, pid = test_chunk(c, best_t, pid)
         entry = jnp.where(lane_c == c, big, entry)
-        new_cap = jax.lax.cond(
-            (i % SHRINK_EVERY) == (SHRINK_EVERY - 1),
-            lambda: jnp.minimum(t_cap, shrink(best_t, t_cap)),
-            lambda: t_cap)
+        if "no_shrink" in ablate:
+            new_cap = t_cap
+        else:
+            new_cap = jax.lax.cond(
+                (i % SHRINK_EVERY) == (SHRINK_EVERY - 1),
+                lambda: jnp.minimum(t_cap, shrink(best_t, t_cap)),
+                lambda: t_cap)
         return i + 1, entry, new_cap, best_t, pid
 
-    _, _, _, best_ts, pids = jax.lax.while_loop(cond, body, init)
+    # Traversal policy (static per compile): small scenes take the LINEAR
+    # walk — every chunk tested in index order by a static fori_loop.  The
+    # r5 on-device ablation (PERF.md) measured the ordered walk's per-
+    # iteration machinery (argmin entry selection, dynamic while trip
+    # count, shrink cond) costing MORE than the chunk tests it prunes on
+    # an 18-chunk scene: 426 -> 302 ms/wave.  A static-bound loop lets
+    # Mosaic pipeline the body; the dynamic ordered walk serializes it.
+    # Bigger scenes keep the ordered walk (pruning wins at 100+ chunks).
+    use_linear = ("linear" in ablate
+                  or (n_chunks <= LINEAR_CHUNK_CAP
+                      and "ordered" not in ablate))
+    if use_linear:
+        def lin_body(c, carry):
+            best_t, pid = carry
+            return test_chunk(c, best_t, pid)
+
+        def lin_run():
+            return jax.lax.fori_loop(
+                0, n_chunks, lin_body, (init[3], init[4]))
+
+        # whole-tile skip: a tile with no active lanes costs one reduction
+        best_ts, pids = jax.lax.cond(
+            jnp.any(act), lin_run, lambda: (init[3], init[4]))
+    else:
+        _, _, _, best_ts, pids = jax.lax.while_loop(cond, body, init)
 
     # per-ray winner: smallest t, ties broken by smallest global pid
     # (identical to the staged kernel's final reduction)
@@ -304,10 +342,10 @@ def _trace_tile(attr_ref, cbox_ref, act, rid_u32, salt_u32,
 # ---------------------------------------------------------------------------
 
 def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
-                 attr_ref, cbox_ref, out_ref, *caustic_out,
+                 attr_ref, feat_ref, cbox_ref, out_ref, *caustic_out,
                  n_chunks, ncp, D, L, eps, shadow_bias, min_depth,
                  ambient, all_opaque, with_caustic, caustic_max_depth,
-                 has_checker):
+                 has_checker, ablate=()):
     """Grid (n_tiles,).  Refs:
     meta SMEM (1, 8) i32: [wave_salt]
     scal SMEM (1, 8) f32: [diag]
@@ -315,10 +353,13 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
     rays (40, RT) f32: rows 0-2 ro, 3-5 rd, 6..6+D sx, 22..22+D sy
     rid (1, RT) i32 global lane ids
     attr (T_pad, 64) f32 packed shade rows (shading.PR_* layout)
+    feat (T_pad, 16) f32 host-derived MT features (build_mega_tables)
     cbox (8, ncp) f32 chunk bounds
     out (8, RT) f32: rows 0-2 radiance, 3 closest count, 4 shadow count
     caustic_out[0] (roundup(9D, 8), RT) f32: rows 3d+[0..3) point,
         3D+3d+[0..3) dir, 6D+3d+[0..3) weight
+    ablate: static perf-probe stage deletions (scripts/ablate_mega.py);
+        () in production
     """
     salt0 = meta_ref[0, 0].astype(jnp.uint32)
     diag = scal_ref[0, 1]
@@ -354,11 +395,26 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
         u_fs = decision_u(5, salt)    # Purpose.RAY_TYPE_FRESNEL
 
         # ---- closest-hit trace + winner shade rows ----
-        best_t, pid, rows = _trace_tile(
-            attr_ref, cbox_ref, alive, rid_u32, salt,
-            rox, roy, roz, rdx, rdy, rdz, jnp.full((1, RT), big, f32),
-            n_chunks=n_chunks, ncp=ncp, diag=diag, eps=eps,
-            all_opaque=all_opaque, any_hit=False, want_attrs=True)
+        if "fixed_hit" in ablate:
+            # ablation probe: skip the closest trace; every alive lane
+            # "hits" triangle 0 at t=1 so the rest of the bounce runs with
+            # realistic control flow
+            best_t = jnp.ones((1, RT), f32)
+            pid = jnp.zeros((1, RT), jnp.int32)
+            a0 = attr_ref[pl.ds(0, CK), :]
+            onehot0 = (jax.lax.broadcasted_iota(jnp.int32, (CK, RT), 0)
+                       == 0).astype(f32)
+            rows = jax.lax.dot_general(
+                a0, onehot0, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            best_t, pid, rows = _trace_tile(
+                attr_ref, feat_ref, cbox_ref, alive, rid_u32, salt,
+                rox, roy, roz, rdx, rdy, rdz, jnp.full((1, RT), big, f32),
+                n_chunks=n_chunks, ncp=ncp, diag=diag, eps=eps,
+                all_opaque=all_opaque, any_hit=False, want_attrs=True,
+                ablate=ablate)
 
         # exact MT recompute from the winner's row (pallas_intersect
         # _exact_hit semantics; differentiability is not needed here)
@@ -384,6 +440,8 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
         t_ex = _dot3(e2x, e2y, e2z, qx, qy, qz) * inv_det
         okx &= (bu >= 0) & (bu <= 1) & (bv >= 0) & (bu + bv <= 1) & (t_ex > 0)
         hit_valid = (pid >= 0) & okx
+        if "fixed_hit" in ablate:   # probe: keep every alive lane hitting
+            hit_valid = alive
         t_safe = jnp.where(hit_valid, t_ex, 0.0)
 
         # ---- shading (shade_from_rows, triangle lanes only) ----
@@ -519,12 +577,16 @@ def _mega_kernel(meta_ref, scal_ref, lights_ref, rays_ref, rid_ref,
             t_lim = jnp.sqrt(max_t2) - bias
             lnx, lny, lnz = _normalize3(ldx, ldy, ldz, 1e-30)
             sh_salt = salt + jnp.uint32(7919 * (li + 1))
-            occ_t, occ_pid, _ = _trace_tile(
-                attr_ref, cbox_ref, valid, rid_u32, sh_salt,
-                sox, soy, soz, lnx, lny, lnz, t_lim,
-                n_chunks=n_chunks, ncp=ncp, diag=diag, eps=eps,
-                all_opaque=all_opaque, any_hit=True, want_attrs=False)
-            occ = occ_pid >= 0
+            if "no_shadow" in ablate:   # probe: all shadow rays unoccluded
+                occ = jnp.zeros((1, RT), jnp.bool_)
+            else:
+                occ_t, occ_pid, _ = _trace_tile(
+                    attr_ref, feat_ref, cbox_ref, valid, rid_u32, sh_salt,
+                    sox, soy, soz, lnx, lny, lnz, t_lim,
+                    n_chunks=n_chunks, ncp=ncp, diag=diag, eps=eps,
+                    all_opaque=all_opaque, any_hit=True, want_attrs=False,
+                    ablate=ablate)
+                occ = occ_pid >= 0
             tolx = lpx - pxw
             toly = lpy - pyw
             tolz = lpz - pzw
@@ -647,8 +709,14 @@ def mega_why_not(scene, cfg) -> list:
 
 
 def build_mega_tables(scene):
-    """(T_pad, 64) attr table (shading.build_prim_rows + safe padding) and
-    (8, ncp) chunk bounds (pallas_intersect.build_tri_features cbox)."""
+    """(T_pad, 64) attr table (shading.build_prim_rows + safe padding),
+    (T_pad, 16) derived MT-feature table, and (8, ncp) chunk bounds
+    (pallas_intersect.build_tri_features cbox).
+
+    The feature table carries [n2 (e1 x e2), fu (v0 x e2), fv (v0 x e1),
+    d0 (v0.n2), e1, e2] per triangle — everything the separable MT test
+    consumes — so the kernel's chunk-test loop never touches the 64-wide
+    attr rows nor re-derives cross products per visit (PERF.md r5)."""
     from ..render.shading import build_prim_rows
     from .pallas_intersect import build_tri_features
 
@@ -661,21 +729,32 @@ def build_mega_tables(scene):
         prow = jnp.zeros((pad, rows.shape[1]), jnp.float32)
         prow = prow.at[:, 30].set(1.0)   # PR_IOR
         rows = jnp.concatenate([rows, prow], axis=0)
+
+    v0 = rows[:, 0:3]
+    e1 = rows[:, 3:6]
+    e2 = rows[:, 6:9]
+    n2 = jnp.cross(e1, e2)
+    fu = jnp.cross(v0, e2)
+    fv = jnp.cross(v0, e1)
+    d0 = jnp.sum(v0 * n2, axis=1, keepdims=True)
+    feat = jnp.concatenate([n2, fu, fv, d0, e1, e2], axis=1)  # (T_pad, 16)
+
     _, cbox = build_tri_features(scene)
     ncp = -(-cbox.shape[1] // 128) * 128
     cbox = jnp.pad(cbox.astype(jnp.float32), ((0, 0), (0, ncp - cbox.shape[1])),
                    constant_values=0.0)
-    return rows, cbox
+    return rows, feat, cbox
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("D", "L", "eps", "shadow_bias", "min_depth", "ambient",
                      "all_opaque", "with_caustic", "caustic_max_depth",
-                     "has_checker", "interpret"))
-def _mega_call(meta, scal, lights, rays, rid, attr, cbox,
+                     "has_checker", "interpret", "ablate"))
+def _mega_call(meta, scal, lights, rays, rid, attr, feat, cbox,
                D, L, eps, shadow_bias, min_depth, ambient, all_opaque,
-               with_caustic, caustic_max_depth, has_checker, interpret):
+               with_caustic, caustic_max_depth, has_checker, interpret,
+               ablate=()):
     R = rays.shape[1]
     n_tiles = R // RT
     ncp = cbox.shape[1]
@@ -684,7 +763,8 @@ def _mega_call(meta, scal, lights, rays, rid, attr, cbox,
         _mega_kernel, n_chunks=n_chunks, ncp=ncp, D=D, L=L, eps=eps,
         shadow_bias=shadow_bias, min_depth=min_depth, ambient=ambient,
         all_opaque=all_opaque, with_caustic=with_caustic,
-        caustic_max_depth=caustic_max_depth, has_checker=has_checker)
+        caustic_max_depth=caustic_max_depth, has_checker=has_checker,
+        ablate=ablate)
     out_shapes = [jax.ShapeDtypeStruct((8, R), jnp.float32)]
     out_specs = [pl.BlockSpec((8, RT), lambda i: (0, i),
                               memory_space=pltpu.VMEM)]
@@ -706,18 +786,21 @@ def _mega_call(meta, scal, lights, rays, rid, attr, cbox,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(attr.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(feat.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(cbox.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(meta, scal, lights, rays, rid, attr, cbox)
+    )(meta, scal, lights, rays, rid, attr, feat, cbox)
     return outs
 
 
 def radiance_wave_mega(scene, cfg, ro, rd, sx_all, sy_all, lane_u32,
-                       wave_salt=0, photon_map=None, interpret=None):
+                       wave_salt=0, photon_map=None, interpret=None,
+                       ablate=()):
     """Megakernel radiance wave: same contract as integrator.radiance_wave
     (with_counts=True form) for eligible scenes.  Returns
     (radiance (R,3), (n_closest, n_shadow))."""
@@ -728,8 +811,9 @@ def radiance_wave_mega(scene, cfg, ro, rd, sx_all, sy_all, lane_u32,
     D = cfg.max_depth
     L = scene.lights.count
 
-    attr, cbox = build_mega_tables(scene)
+    attr, feat, cbox = build_mega_tables(scene)
     attr = jax.lax.stop_gradient(attr)
+    feat = jax.lax.stop_gradient(feat)
     cbox = jax.lax.stop_gradient(cbox)
     diag = jnp.linalg.norm(jax.lax.stop_gradient(
         (scene.world_max - scene.world_min).astype(jnp.float32))) * 1.001
@@ -758,12 +842,13 @@ def radiance_wave_mega(scene, cfg, ro, rd, sx_all, sy_all, lane_u32,
 
     with_caustic = photon_map is not None
     outs = _mega_call(
-        meta, scal, lights, rays, rid, attr, cbox,
+        meta, scal, lights, rays, rid, attr, feat, cbox,
         D=D, L=L, eps=float(cfg.epsilon), shadow_bias=float(cfg.shadow_bias),
         min_depth=int(cfg.min_depth), ambient=tuple(cfg.ambient),
         all_opaque=scene.all_opaque, with_caustic=with_caustic,
         caustic_max_depth=int(cfg.caustic_max_depth),
-        has_checker=has_checker, interpret=interpret)
+        has_checker=has_checker, interpret=interpret,
+        ablate=tuple(ablate))
 
     main = outs[0]
     radiance = main[0:3, :].T                       # (R, 3)
